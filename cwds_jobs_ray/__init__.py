@@ -1,0 +1,21 @@
+"""cwds_jobs_ray — a from-scratch, Ray-Data-native CDC / incremental-ingest engine.
+
+Re-expresses the capabilities of the reference CDC batch-job engine
+(LeonidMarushevskyi/cwds-jobs: savepoint-driven change-data-capture from a
+replication shadow table into a keyed, idempotent sink — see
+/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/batch/BatchProcessor.java:43-67
+for the reference's batch/savepoint loop) as idiomatic ``ray.data.Dataset``
+pipelines over zero-copy Arrow batches:
+
+- WAL/binlog tail (Parquet change segments) -> ``read_parquet``
+- per-block combine (local LWW pre-reduce)  -> ``map_batches`` (pyarrow)
+- key co-location                           -> ``groupby(part)`` hash shuffle
+- keyed upsert/delete merge (LWW on ts,lsn) -> per-partition merge vs base Parquet
+- exactly-once publish                      -> versioned files + atomic manifest swap
+
+Nothing is ported: the reference is Java/Hibernate/Elasticsearch; this engine
+derives only the *semantics* (watermarks, I/U/D application, initial-vs-
+incremental modes, crash resume, atomic publish) from it.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,275 @@
+"""CDCJob — the Ray-Data-native descendant of the reference's batch/savepoint
+job loop (/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/batch/BatchProcessor.java:43-67
++ mode machine .../mode/AbstractJobModeService.java:29-50 + runner
+.../core/JobRunner.java:18-30).
+
+Lifecycle per run:
+  resolve mode from manifest ->
+  INITIAL_LOAD / INITIAL_RESUME: hash-partition the base snapshot into v0
+    partition files, commit manifest (idempotent redo on resume) ->
+  INCREMENTAL: plan LSN batches from WAL footer metadata ->
+  per batch: read_parquet(segments) -> map_batches(combiner) ->
+    groupby(part).map_groups(partition merge) -> collect P stats rows ->
+    advance manifest (atomic swap)  [the savepoint advance of
+    BatchProcessor.handleBatchSavepoint — data files first, manifest last]
+
+Exactly-once: data files are immutable & versioned; the manifest swap is the
+only commit point; a crash at ANY point leaves either the old manifest (batch
+fully re-applied on resume — per-partition LSN watermarks make re-application
+a no-op) or the new one (batch skipped via segment planning). Startup GC
+removes uncommitted files.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..schema import CHANGE_SCHEMA_V2, TRANSCRIPT_SCHEMA, PUBLIC_COLS, unify_change_schemas
+from ..sources.wal import SegmentInfo, batch_schema, list_segments, plan_batches
+from ..stages.merge import STATS_COLUMNS, make_combiner, make_partition_merger, make_snapshot_writer
+from ..stages.partition import add_partition_column
+from ..state.manifest import (
+    INCREMENTAL_LOAD,
+    INITIAL_LOAD,
+    INITIAL_RESUME,
+    Manifest,
+    resolve_job_mode,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class CDCJob:
+    """One logical lake table maintained from a WAL of change events."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        wal_dir: str,
+        num_partitions: int = 16,
+        events_per_batch: int = 500_000,
+        combine_batch_size: int = 65_536,
+    ):
+        self.table_dir = table_dir
+        self.wal_dir = wal_dir
+        self.num_partitions = num_partitions
+        self.events_per_batch = events_per_batch
+        self.combine_batch_size = combine_batch_size
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        base_path: str | None = None,
+        on_before_commit: Callable[[Manifest], None] | None = None,
+    ) -> Manifest:
+        """Full scheduled run: mode resolution, initial load if needed, then
+        drain the WAL batch-by-batch. ``on_before_commit`` is a test hook for
+        crash injection (reference: BrokenTestEntityService,
+        /root/reference/jobs-common/src/test/java/.../JobMainTest.java:168-207).
+        """
+        manifest = Manifest.load(self.table_dir)
+        mode = resolve_job_mode(manifest)
+        if mode in (INITIAL_LOAD, INITIAL_RESUME):
+            snapshot_done = manifest is not None and (
+                any(p.file for p in manifest.partitions.values())
+                or manifest.base_path is None)
+            if not snapshot_done:
+                # (re)do the snapshot partitioning; resume remembers its
+                # snapshot source in the manifest
+                if base_path is None and manifest is not None:
+                    base_path = manifest.base_path
+                manifest = self.initial_load(base_path, manifest)
+            # else: snapshot (and possibly some WAL batches) already
+            # committed — INITIAL_RESUME continues from the committed
+            # watermarks (reference: .../JobMainTest.java:168-207 semantics)
+        manifest.gc_uncommitted(self.table_dir)
+        return self.apply_wal(manifest, on_before_commit=on_before_commit)
+
+    # --------------------------------------------------------- initial load
+    def initial_load(self, base_path: str | None, manifest: Manifest | None) -> Manifest:
+        """Hash-partition the base snapshot into immutable v0 files.
+
+        Idempotent: resume redoes the partitioning (writes land on the same
+        deterministic paths); the manifest commit is the publish point.
+        """
+        manifest = Manifest.new(self.num_partitions)
+        manifest.job_mode = INITIAL_RESUME
+        manifest.base_path = base_path
+        manifest.commit(self.table_dir)  # records that an initial load started
+
+        if base_path is not None:
+            ds = ray.data.read_parquet(base_path)
+            target = _target_schema(ds.schema().base_schema)
+            ds = ds.map_batches(
+                lambda t: add_partition_column(
+                    _with_lineage(t, target), self.num_partitions),
+                batch_format="pyarrow", batch_size=self.combine_batch_size)
+            stats = (
+                ds.groupby("part")
+                .map_groups(make_snapshot_writer(self.table_dir, 0, target),
+                            batch_format="pandas")
+            )
+            stats_df = stats.to_pandas()
+            if stats_df.empty:  # empty base snapshot
+                stats_df = pd.DataFrame(columns=STATS_COLUMNS)
+        else:
+            stats_df = pd.DataFrame(columns=STATS_COLUMNS)
+
+        for i in range(self.num_partitions):
+            p = manifest.part(i)
+            row = stats_df[stats_df["part"] == i]
+            if len(row):
+                r = row.iloc[0]
+                p.rows_applied = int(r["rows_applied"])
+                p.lsn_watermark = int(r["lsn_watermark"])
+                p.file = r["file"]
+        manifest.job_mode = INITIAL_RESUME
+        manifest.table_version = 0
+        manifest.commit(self.table_dir)
+        return manifest
+
+    # ------------------------------------------------------------ wal drain
+    def apply_wal(
+        self,
+        manifest: Manifest | None = None,
+        on_before_commit: Callable[[Manifest], None] | None = None,
+    ) -> Manifest:
+        manifest = manifest or Manifest.load(self.table_dir)
+        if manifest is None:
+            raise RuntimeError("no manifest: run initial_load first")
+        segments = list_segments(self.wal_dir)
+        batches = plan_batches(segments, manifest.applied_through_lsn,
+                               self.events_per_batch)
+        for batch in batches:
+            manifest = self.apply_batch(batch, manifest,
+                                        on_before_commit=on_before_commit)
+        # finalize: next run is incremental (reference initial-mode finalizer,
+        # .../CwsInitialJobModeFinalizer.java:34-45)
+        if manifest.job_mode != INCREMENTAL_LOAD:
+            manifest.job_mode = INCREMENTAL_LOAD
+            manifest.commit(self.table_dir)
+        return manifest
+
+    def apply_batch(
+        self,
+        batch: list[SegmentInfo],
+        manifest: Manifest,
+        on_before_commit: Callable[[Manifest], None] | None = None,
+    ) -> Manifest:
+        """Apply one batch of whole WAL segments; advance manifest atomically."""
+        version = manifest.table_version + 1
+        change_schema = batch_schema(batch)
+        target = _evolve_schema(manifest, change_schema)
+
+        watermarks = {i: manifest.part(i).lsn_watermark
+                      for i in range(self.num_partitions)}
+        base_files = {i: manifest.part(i).file
+                      for i in range(self.num_partitions)}
+
+        ds = ray.data.read_parquet([s.path for s in batch])
+        ds = ds.map_batches(
+            make_combiner(change_schema, self.num_partitions, watermarks),
+            batch_format="pyarrow", batch_size=self.combine_batch_size)
+        stats = (
+            ds.groupby("part")
+            .map_groups(
+                make_partition_merger(self.table_dir, version, target,
+                                      watermarks, base_files),
+                batch_format="pandas")
+        )
+        stats_df = stats.to_pandas()  # P rows — tiny
+
+        new_m = Manifest(
+            job_mode=manifest.job_mode,
+            table_version=version,
+            schema_version=manifest.schema_version
+            + (0 if _schema_equal_to_base(target) else 1),
+            num_partitions=manifest.num_partitions,
+            base_path=manifest.base_path,
+            applied_through_lsn=max(manifest.applied_through_lsn,
+                                    max(s.max_lsn for s in batch)),
+            partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
+        )
+        touched = set()
+        for _, r in stats_df.iterrows():
+            i = int(r["part"])
+            touched.add(i)
+            p = new_m.part(i)
+            p.rows_applied = int(r["rows_applied"])
+            p.dedup_count += int(r["dedup_count"])
+            p.conflict_count += int(r["conflict_count"])
+            p.replay_skipped += int(r["replay_skipped"])
+            p.lsn_watermark = max(p.lsn_watermark, int(r["lsn_watermark"]))
+            p.file = r["file"]
+        # untouched partitions carry their committed file forward unchanged
+        if on_before_commit is not None:
+            on_before_commit(new_m)
+        new_m.commit(self.table_dir)
+        logger.info("committed v%d: %d partitions touched", version, len(touched))
+        return new_m
+
+    # -------------------------------------------------------------- reading
+    def read_table(self, columns: list[str] | None = None) -> ray.data.Dataset:
+        """Dataset over the committed partition files, tombstones filtered at
+        the scan (row-group predicate pushdown on ``op``)."""
+        import pyarrow.compute as pc
+        manifest = Manifest.load(self.table_dir)
+        files = [f"{self.table_dir}/{f}" for f in sorted(manifest.committed_files())]
+        cols = columns or PUBLIC_COLS
+        return ray.data.read_parquet(files, columns=cols,
+                                     filter=pc.field("op") != "D")
+
+    def read_table_arrow(self) -> pa.Table:
+        """Driver-side materialization for tests/small tables only."""
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+        manifest = Manifest.load(self.table_dir)
+        tables = [pq.read_table(f"{self.table_dir}/{f}")
+                  for f in sorted(manifest.committed_files())]
+        tables = [t for t in tables if t.num_rows] or tables[:1]
+        out = pa.concat_tables(tables, promote_options="permissive")
+        if "op" in out.column_names:
+            out = out.filter(pc.field("op") != "D").drop_columns(["op"])
+        return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+# ---------------------------------------------------------------- helpers
+def _copy_part(p):
+    from ..state.manifest import PartitionState
+    return PartitionState(**vars(p))
+
+
+def _with_lineage(t: pa.Table, target: pa.Schema) -> pa.Table:
+    from ..schema import conform_to_schema
+    return conform_to_schema(t, target)
+
+
+def _target_schema(base_schema: pa.Schema) -> pa.Schema:
+    """Base lake schema incl. the lsn lineage column."""
+    fields = list(base_schema)
+    if "lsn" not in [f.name for f in fields]:
+        fields.append(pa.field("lsn", pa.int64()))
+    return pa.schema(fields)
+
+
+def _evolve_schema(manifest: Manifest, change_schema: pa.Schema) -> pa.Schema:
+    """Unify the committed base schema with the batch's payload columns —
+    added nullable columns and widened types are allowed (schema evolution by
+    unification + null back-fill, replacing the reference's
+    index-mapping-replacement model)."""
+    payload = pa.schema([f for f in change_schema if f.name not in ("op", "part")])
+    base = TRANSCRIPT_SCHEMA
+    uni = unify_change_schemas([base, payload])
+    # keep base column order first, new columns appended
+    names = [f.name for f in base] + [f.name for f in uni if f.name not in
+                                      [g.name for g in base]]
+    return pa.schema([uni.field(n) for n in names])
+
+
+def _schema_equal_to_base(target: pa.Schema) -> bool:
+    return tuple(f.name for f in target) == tuple(f.name for f in TRANSCRIPT_SCHEMA)

@@ -1,0 +1,92 @@
+"""WAL segment discovery and batch planning — all from Parquet metadata.
+
+The reference finds batch boundaries with probe queries against the source DB
+(the k-th-row lookahead, /root/reference/jobs-facilities-cws/src/main/java/gov/ca/cwds/jobs/cals/facility/cws/dao/CwsChangedIdentifierDao.java:45-60,
+driven by /root/reference/jobs-common/.../iterator/TimestampJobBatchIterator.java:27-36).
+Here the WAL is a directory of Parquet segments, so batch boundaries come for
+free from footer statistics: per-segment (min_lsn, max_lsn, rows, schema) —
+no data is read on the driver.
+
+Invariants:
+- segments are produced in LSN order: ``max_lsn`` is strictly increasing in
+  filename order (new LSNs only ever grow);
+- one batch = a run of WHOLE segments — a single LSN is never split across
+  batches (the reference's open-interval batching rule);
+- a segment is already committed iff ``max_lsn <= manifest.applied_through_lsn``
+  (duplicate *redeliveries* of old LSNs inside newer segments are filtered
+  later, per-partition, by the LSN watermark in the merge).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import unify_change_schemas
+
+
+@dataclass
+class SegmentInfo:
+    path: str
+    min_lsn: int
+    max_lsn: int
+    rows: int
+    schema: pa.Schema
+
+
+def list_segments(wal_dir: str) -> list[SegmentInfo]:
+    """Driver-side metadata scan (footers only) of all WAL segments."""
+    infos = []
+    if not os.path.isdir(wal_dir):
+        return infos
+    for fn in sorted(os.listdir(wal_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(wal_dir, fn)
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        schema = f.schema_arrow
+        lsn_idx = schema.get_field_index("lsn")
+        mn, mx = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lsn_idx).statistics
+            if st is not None and st.has_min_max:
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        if md.num_rows == 0:
+            continue
+        infos.append(SegmentInfo(path, int(mn), int(mx), md.num_rows, schema))
+    return infos
+
+
+def plan_batches(
+    segments: list[SegmentInfo],
+    applied_through_lsn: int,
+    events_per_batch: int,
+) -> list[list[SegmentInfo]]:
+    """Group pending segments into batches of whole segments.
+
+    A batch closes when it reaches ``events_per_batch`` rows. Segments whose
+    ``max_lsn`` is already committed are skipped entirely (resume).
+    """
+    pending = [s for s in segments if s.max_lsn > applied_through_lsn]
+    batches: list[list[SegmentInfo]] = []
+    cur: list[SegmentInfo] = []
+    cur_rows = 0
+    for s in pending:
+        cur.append(s)
+        cur_rows += s.rows
+        if cur_rows >= events_per_batch:
+            batches.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def batch_schema(batch: list[SegmentInfo]) -> pa.Schema:
+    """Unified Arrow schema across a batch's segments (v1/v2 mixing)."""
+    return unify_change_schemas([s.schema for s in batch])

@@ -1,0 +1,132 @@
+"""Checkpoint manifest: the engine's savepoint + atomic publish, in one file.
+
+Descends from two reference mechanisms:
+- the savepoint container ``{jobMode, savePoint, indexName}`` persisted as a
+  JSON file after every successful batch
+  (/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/savepoint/SavePointContainer.java:12-43,
+  written at .../SavePointContainerServiceImpl.java:61-87, advanced only after
+  the sink flush at .../batch/BatchProcessor.java:56-67), and
+- the atomic Elasticsearch alias swap that publishes a fully-built index in a
+  single request (.../elastic/ElasticsearchService.java:123-147).
+
+Here both collapse into ONE primitive: data files are immutable and versioned
+(``p={i}/v{version}.parquet``, never overwritten); the manifest JSON names the
+exact committed file per partition plus per-partition LSN watermarks and
+counters; commit = write ``manifest.json.tmp`` + ``os.replace`` (atomic on
+POSIX). A crash can only ever leave orphaned *uncommitted* version files,
+which startup GC removes (the reference's redundant-index cleanup,
+.../elastic/ElasticsearchService.java:168-179).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionState:
+    lsn_watermark: int = 0
+    rows_applied: int = 0      # live rows in the committed partition file
+    dedup_count: int = 0       # cumulative exact duplicate redeliveries dropped
+    conflict_count: int = 0    # cumulative LWW losers (older event superseded)
+    replay_skipped: int = 0    # cumulative rows skipped as lsn <= watermark
+    file: str | None = None    # committed parquet path relative to table_dir
+
+
+# Job modes — the reference's mode state machine
+# (/root/reference/jobs-common/.../mode/AbstractJobModeService.java:29-50):
+# no manifest -> INITIAL_LOAD; manifest with mode INITIAL_* -> INITIAL_RESUME;
+# committed manifest -> INCREMENTAL_LOAD.
+INITIAL_LOAD = "INITIAL_LOAD"
+INITIAL_RESUME = "INITIAL_RESUME"
+INCREMENTAL_LOAD = "INCREMENTAL_LOAD"
+
+
+@dataclass
+class Manifest:
+    job_mode: str = INITIAL_LOAD
+    table_version: int = 0
+    schema_version: int = 1
+    num_partitions: int = 16
+    applied_through_lsn: int = 0  # global: every event with lsn <= this is committed
+    # source snapshot for INITIAL_RESUME — the reference's savepoint file
+    # carries `indexName` back for resume the same way
+    # (.../inject/ElasticSearchModule.java:38-51)
+    base_path: str | None = None
+    partitions: dict[str, PartitionState] = field(default_factory=dict)
+
+    FILENAME = "manifest.json"
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def new(cls, num_partitions: int) -> "Manifest":
+        return cls(
+            num_partitions=num_partitions,
+            partitions={str(i): PartitionState() for i in range(num_partitions)},
+        )
+
+    @classmethod
+    def load(cls, table_dir: str) -> "Manifest | None":
+        path = os.path.join(table_dir, cls.FILENAME)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            raw = json.load(f)
+        parts = {k: PartitionState(**v) for k, v in raw.pop("partitions").items()}
+        return cls(partitions=parts, **raw)
+
+    # -- commit -----------------------------------------------------------
+    def commit(self, table_dir: str) -> None:
+        """Atomic publish: temp write + rename. The single commit point."""
+        os.makedirs(table_dir, exist_ok=True)
+        path = os.path.join(table_dir, self.FILENAME)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    # -- derived ----------------------------------------------------------
+    def part(self, i: int) -> PartitionState:
+        return self.partitions[str(i)]
+
+    def committed_files(self) -> set[str]:
+        return {p.file for p in self.partitions.values() if p.file}
+
+    def total(self, field_name: str) -> int:
+        return sum(getattr(p, field_name) for p in self.partitions.values())
+
+    def gc_uncommitted(self, table_dir: str) -> list[str]:
+        """Delete data files not referenced by this manifest (crash leftovers).
+
+        Reference analogue: orphan-index cleanup on startup
+        (ElasticsearchService.java:168-179).
+        """
+        keep = self.committed_files()
+        removed = []
+        pat = re.compile(r"^p=\d+$")
+        if not os.path.isdir(table_dir):
+            return removed
+        for d in os.listdir(table_dir):
+            if not pat.match(d):
+                continue
+            for fn in os.listdir(os.path.join(table_dir, d)):
+                rel = f"{d}/{fn}"
+                if rel not in keep:
+                    os.remove(os.path.join(table_dir, d, fn))
+                    removed.append(rel)
+        return removed
+
+
+def resolve_job_mode(manifest: Manifest | None) -> str:
+    """Mode resolution per the reference state machine
+    (AbstractJobModeService.java:29-50)."""
+    if manifest is None:
+        return INITIAL_LOAD
+    if manifest.job_mode in (INITIAL_LOAD, INITIAL_RESUME):
+        return INITIAL_RESUME
+    return INCREMENTAL_LOAD
