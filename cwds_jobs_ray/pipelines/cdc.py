@@ -232,6 +232,8 @@ class CDCJob:
         tables = [pq.read_table(f"{self.table_dir}/{f}")
                   for f in sorted(manifest.committed_files())]
         tables = [t for t in tables if t.num_rows] or tables[:1]
+        if not tables:
+            return TRANSCRIPT_SCHEMA.empty_table()
         out = pa.concat_tables(tables, promote_options="permissive")
         if "op" in out.column_names:
             out = out.filter(pc.field("op") != "D").drop_columns(["op"])

@@ -1,0 +1,213 @@
+"""Engine-vs-oracle scenario matrix — the transplant of the reference's
+batch-size × mode sweep with golden assertions
+(/root/reference/jobs-common/src/test/java/gov/ca/cwds/jobs/common/JobMainTest.java:66-218
+and /root/reference/jobs-facilities-cws/src/test/java/.../CwsFacilityJobTest.java:60-134).
+
+Each scenario: synthesize base + WAL deterministically, run the distributed
+engine, compare the committed table BYTE-FOR-BYTE (per-turn `text` equality
+under stable (conv_id, turn_idx) order — BASELINE.json invariant) against the
+single-process oracle replay, plus golden counter/watermark assertions.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from cwds_jobs_ray.pipelines.cdc import CDCJob
+from cwds_jobs_ray.pipelines.oracle import replay
+from cwds_jobs_ray.schema import CHANGE_SCHEMA_V2, PUBLIC_COLS
+from cwds_jobs_ray.state.manifest import INCREMENTAL_LOAD, Manifest
+from cwds_jobs_ray.synth import WalSpec, make_base, make_wal, synthesize, write_wal_segments
+
+P = 8
+
+
+def run_and_compare(workdir, spec, events_per_batch=10**9, num_partitions=P):
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=num_partitions, events_per_batch=events_per_batch)
+    m = job.run(base_path=d["base_path"])
+    o = replay(d["base"], d["wal"], num_partitions)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final), "final table differs"
+    assert m.total("rows_applied") == o.rows_applied
+    assert m.total("conflict_count") == o.conflict_count
+    assert m.total("dedup_count") + m.total("replay_skipped") == o.dedup_count
+    assert m.job_mode == INCREMENTAL_LOAD
+    return d, job, m, o
+
+
+def test_empty_source(workdir):
+    # reference testcase1/2: empty source, epoch watermark, mode flips
+    spec = WalSpec(seed=1, n_convs=0, turns_per_conv=0, n_events=0, n_segments=1)
+    _, _, m, o = run_and_compare(workdir, spec)
+    assert m.total("rows_applied") == 0
+    assert m.applied_through_lsn == 0
+    assert m.table_version == 0
+
+
+def test_inserts_only_tiny(workdir):
+    # reference testcase3-7: tiny loads with duplicate timestamps
+    spec = WalSpec(seed=3, n_convs=3, turns_per_conv=2, n_events=10, n_segments=2,
+                   frac_update=0, frac_delete=0, dup_redelivery_frac=0,
+                   out_of_order_frac=0)
+    _, _, m, o = run_and_compare(workdir, spec)
+    assert m.applied_through_lsn == 10
+
+
+@pytest.mark.parametrize("events_per_batch", [1, 2, 10, 10**9])
+def test_batch_size_sweep(workdir, events_per_batch):
+    # reference sweeps batch sizes 1/2/10 across modes (JobMainTest)
+    spec = WalSpec(seed=5, n_convs=10, turns_per_conv=3, n_events=40, n_segments=8,
+                   dup_redelivery_frac=0.1, out_of_order_frac=0.2)
+    run_and_compare(workdir, spec, events_per_batch=events_per_batch)
+
+
+def test_incremental_second_run_no_changes(workdir):
+    # reference: incremental run with no new data -> 0 items, watermark kept
+    spec = WalSpec(seed=6, n_convs=10, turns_per_conv=3, n_events=50, n_segments=4)
+    _, job, m, _ = run_and_compare(workdir, spec)
+    m2 = job.run()
+    assert m2.table_version == m.table_version
+    assert m2.applied_through_lsn == m.applied_through_lsn
+
+
+def test_incremental_new_segments_arrive(workdir):
+    # drain, then new WAL segments land, run again (scheduled re-run)
+    spec = WalSpec(seed=7, n_convs=20, turns_per_conv=4, n_events=100, n_segments=2)
+    d, job, m, _ = run_and_compare(workdir, spec)
+    # second wave of changes with higher lsns
+    wal2 = make_wal(WalSpec(seed=8, n_convs=20, turns_per_conv=4, n_events=60,
+                            n_segments=1))
+    import pyarrow.compute as pc
+    wal2 = wal2.set_column(wal2.schema.get_field_index("lsn"), "lsn",
+                           pc.add(wal2["lsn"], 100))
+    write_wal_segments(wal2, os.path.join(workdir, "wal2"), 1)
+    os.replace(os.path.join(workdir, "wal2", "segment-00000.parquet"),
+               os.path.join(workdir, "wal", "segment-00099.parquet"))
+    m2 = job.run()
+    assert m2.table_version == m.table_version + 1
+    assert m2.applied_through_lsn == 160
+    o = replay(d["base"], pa.concat_tables([d["wal"], wal2]), P)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+
+
+def test_out_of_order_lww(workdir):
+    spec = WalSpec(seed=11, n_convs=15, turns_per_conv=3, n_events=300,
+                   n_segments=6, out_of_order_frac=0.5, dup_redelivery_frac=0)
+    run_and_compare(workdir, spec, events_per_batch=50)
+
+
+def test_dup_redelivery(workdir):
+    spec = WalSpec(seed=12, n_convs=15, turns_per_conv=3, n_events=200,
+                   n_segments=4, dup_redelivery_frac=0.3)
+    d, job, m, o = run_and_compare(workdir, spec)
+    assert o.dedup_count > 0
+
+
+def test_hot_key_skew(workdir):
+    # one viral conv_id carries half the stream (FIXTURES.md hot_key)
+    spec = WalSpec(seed=13, n_convs=30, turns_per_conv=4, n_events=500,
+                   n_segments=5, hot_key_frac=0.5)
+    run_and_compare(workdir, spec, events_per_batch=100)
+
+
+def test_schema_change_midstream(workdir):
+    # v1 segments (no tool col) then v2 — unify + null backfill
+    spec = WalSpec(seed=14, n_convs=20, turns_per_conv=3, n_events=200,
+                   n_segments=4, schema_v1_segments=2)
+    d, job, m, o = run_and_compare(workdir, spec, events_per_batch=60)
+    # rows written by v1 events must have null tool
+    got = job.read_table_arrow()
+    assert got.num_rows == o.rows_applied
+
+
+# ---------------------------------------------------------------- explicit
+# hand-built micro fixtures (reference style: explicit Liquibase XML rows)
+
+def _mk_wal(rows):
+    cols = {name: [] for name in ["lsn", "op", "conv_id", "turn_idx", "role",
+                                  "text", "tool", "ts"]}
+    for r in rows:
+        for k in cols:
+            cols[k].append(r.get(k))
+    return pa.Table.from_pydict(cols, schema=CHANGE_SCHEMA_V2)
+
+
+TS = 1_700_000_000_000_000
+
+
+def _run_explicit(workdir, base, wal, events_per_batch=10**9):
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.join(workdir, "base"), exist_ok=True)
+    base_path = os.path.join(workdir, "base", "base.parquet")
+    pq.write_table(base, base_path)
+    write_wal_segments(wal, os.path.join(workdir, "wal"), 1)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=events_per_batch)
+    m = job.run(base_path=base_path)
+    return job, m
+
+
+def test_delete_then_reinsert(workdir):
+    # D then later I on the same key must leave the reinserted row
+    # (reference D4 semantics, ElasticWriter.java:71-80)
+    base = make_base(WalSpec(seed=1, n_convs=1, turns_per_conv=2))
+    wal = _mk_wal([
+        dict(lsn=1, op="D", conv_id="c000000", turn_idx=1, ts=TS + 10**9),
+        dict(lsn=2, op="I", conv_id="c000000", turn_idx=1, role="user",
+             text="reinserted", tool=None, ts=TS + 2 * 10**9),
+    ])
+    job, m = _run_explicit(workdir, base, wal)
+    got = job.read_table_arrow().to_pydict()
+    assert got["text"] == [base["text"][0].as_py(), "reinserted"]
+
+
+def test_delete_wins_over_older_out_of_order_update(workdir):
+    # tombstone persisted: an out-of-order U older than the D must NOT
+    # resurrect the row — even when it arrives in a LATER batch
+    base = make_base(WalSpec(seed=1, n_convs=1, turns_per_conv=2))
+    wal = _mk_wal([
+        dict(lsn=1, op="D", conv_id="c000000", turn_idx=0, ts=TS + 10**9),
+        dict(lsn=2, op="U", conv_id="c000000", turn_idx=0, role="user",
+             text="zombie", tool=None, ts=TS + 10**8),  # older ts than the D
+    ])
+    for epb in (10**9, 1):  # same batch, then one-event batches
+        import shutil
+        sub = os.path.join(workdir, f"epb{epb}")
+        os.makedirs(sub)
+        job, m = _run_explicit(sub, base, wal, events_per_batch=epb)
+        got = job.read_table_arrow()
+        assert got.num_rows == 1
+        assert got["turn_idx"][0].as_py() == 1
+        assert m.total("conflict_count") == 1
+
+
+def test_update_payload_replaces_row_wholesale(workdir):
+    base = make_base(WalSpec(seed=1, n_convs=1, turns_per_conv=1))
+    wal = _mk_wal([
+        dict(lsn=1, op="U", conv_id="c000000", turn_idx=0, role="assistant",
+             text="edited", tool="python", ts=TS + 10**9),
+    ])
+    job, m = _run_explicit(workdir, base, wal)
+    got = job.read_table_arrow().to_pydict()
+    assert got["text"] == ["edited"]
+    assert got["role"] == ["assistant"]
+    assert got["tool"] == ["python"]
+
+
+def test_lww_tiebreak_on_lsn_at_equal_ts(workdir):
+    # two updates with identical ts: higher lsn wins (reference total order
+    # is (timestamp, id): QueryConstants.java:72-73)
+    base = make_base(WalSpec(seed=1, n_convs=1, turns_per_conv=1))
+    wal = _mk_wal([
+        dict(lsn=2, op="U", conv_id="c000000", turn_idx=0, role="user",
+             text="second", tool=None, ts=TS + 10**9),
+        dict(lsn=1, op="U", conv_id="c000000", turn_idx=0, role="user",
+             text="first", tool=None, ts=TS + 10**9),
+    ])
+    job, m = _run_explicit(workdir, base, wal)
+    assert job.read_table_arrow().to_pydict()["text"] == ["second"]
+    assert m.total("conflict_count") == 1

@@ -1,0 +1,103 @@
+"""Crash/resume — analogue of the reference's broken-service tests
+(/root/reference/jobs-common/src/test/java/gov/ca/cwds/jobs/common/JobMainTest.java:168-207:
+savepoint sticks at the last good batch; a re-run applies only the remainder)."""
+
+import os
+
+import pytest
+
+from cwds_jobs_ray.pipelines.cdc import CDCJob
+from cwds_jobs_ray.pipelines.oracle import replay
+from cwds_jobs_ray.state.manifest import INITIAL_RESUME, INCREMENTAL_LOAD, Manifest
+from cwds_jobs_ray.synth import WalSpec, synthesize
+
+
+class Boom(Exception):
+    pass
+
+
+SPEC = WalSpec(seed=21, n_convs=20, turns_per_conv=4, n_events=300, n_segments=6,
+               dup_redelivery_frac=0.05, out_of_order_frac=0.15,
+               schema_v1_segments=2, hot_key_frac=0.3)
+
+
+def test_crash_mid_wal_then_resume(workdir):
+    d = synthesize(SPEC, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=100)
+
+    calls = {"n": 0}
+
+    def crash(_manifest):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        job.run(base_path=d["base_path"], on_before_commit=crash)
+
+    stuck = Manifest.load(os.path.join(workdir, "table"))
+    assert stuck.table_version == 1  # savepoint stuck at last good batch
+    assert stuck.job_mode == INITIAL_RESUME
+
+    # plain re-run (no args!) applies only the remainder and finalizes
+    m = job.run()
+    assert m.job_mode == INCREMENTAL_LOAD
+    o = replay(d["base"], d["wal"], 4)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    assert m.total("conflict_count") == o.conflict_count
+
+
+def test_crash_mid_snapshot_then_resume(workdir):
+    d = synthesize(SPEC, workdir)
+    table_dir = os.path.join(workdir, "table")
+    job = CDCJob(table_dir, os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=100)
+
+    # simulate dying right after the initial manifest write, before any
+    # partition file is recorded
+    m = Manifest.new(4)
+    m.job_mode = INITIAL_RESUME
+    m.base_path = d["base_path"]
+    m.commit(table_dir)
+
+    m2 = job.run()  # no base_path: must be recovered from the manifest
+    assert m2.job_mode == INCREMENTAL_LOAD
+    o = replay(d["base"], d["wal"], 4)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+
+
+def test_uncommitted_files_are_gced_on_resume(workdir):
+    d = synthesize(SPEC, workdir)
+    table_dir = os.path.join(workdir, "table")
+    job = CDCJob(table_dir, os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9)
+    job.run(base_path=d["base_path"])
+
+    # orphan file from a hypothetical crashed future batch (use a partition
+    # dir that actually exists — hashing may leave some partitions empty)
+    pdir = next(d for d in sorted(os.listdir(table_dir)) if d.startswith("p="))
+    orphan = os.path.join(table_dir, pdir, "v99.parquet")
+    open(orphan, "w").close()
+    job.run()
+    assert not os.path.exists(orphan)
+
+
+def test_double_crash_same_batch(workdir):
+    d = synthesize(SPEC, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=100)
+
+    def always_crash(_):
+        raise Boom()
+
+    with pytest.raises(Boom):
+        job.run(base_path=d["base_path"], on_before_commit=always_crash)
+    with pytest.raises(Boom):
+        job.run(on_before_commit=always_crash)
+
+    m = job.run()
+    o = replay(d["base"], d["wal"], 4)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m.total("conflict_count") == o.conflict_count
