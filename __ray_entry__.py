@@ -1,44 +1,80 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship CDC pipeline (WAL replay -> committed lake table) on a
+  deterministic transcript workload scaled to sf0.001, returns the final
+  table as a Dataset.
+- ``queries()``: one callable per implemented operator from SURVEY.md §2
+  (plus the training-data operators); each takes sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# ------------------------------------------------------------------ flagship
+
+def _transcript_replay(sf_dir: str):
+    """Run the full CDC engine (synth base+WAL -> CDCJob -> committed table)
+    at a scale derived from the sf directory. Deterministic; cached per
+    scale under /tmp so repeated driver calls don't resynthesize."""
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.synth import WalSpec, synthesize
+
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    spec = WalSpec(
+        seed=42,
+        n_convs=max(20, n_events // 50),
+        turns_per_conv=6,
+        n_events=n_events,
+        n_segments=8,
+        dup_redelivery_frac=0.05,
+        out_of_order_frac=0.10,
+        hot_key_frac=0.05,
+        schema_v1_segments=2,
+    )
+    tag = hashlib.md5(repr(spec).encode()).hexdigest()[:10]
+    work = f"/tmp/cwds_jobs_ray_cache/replay_{tag}"
+    table_dir, wal_dir = f"{work}/table", f"{work}/wal"
+    if not os.path.isdir(wal_dir):
+        os.makedirs(work, exist_ok=True)
+        synthesize(spec, work)
+    shutil.rmtree(table_dir, ignore_errors=True)
+    job = CDCJob(table_dir, wal_dir, num_partitions=16,
+                 events_per_batch=2_000_000)
+    job.run(base_path=f"{work}/base/base.parquet")
+    return job.read_table()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver checks rows >= 0."""
+    return _transcript_replay("/root/testdata/sf0.001")
 
+
+# ------------------------------------------------------------------ catalog
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cwds_jobs_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["transcript_cdc_replay"] = _transcript_replay
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cwds_jobs_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

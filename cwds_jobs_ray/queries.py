@@ -1,0 +1,559 @@
+"""Operator catalog: every reference operator from SURVEY.md §2 re-expressed
+as a Ray Data pipeline over the driver's testdata tables, paired (where
+SQL-expressible) with a DuckDB oracle in ``ORACLE_SQL``.
+
+The ``events`` table doubles as a CDC change feed: ``event_id`` is the LSN,
+``user_id`` the entity key, ``ts`` the change timestamp, and the op code is
+derived from ``event_type`` (signup->I, purchase->D, else U) — mirroring the
+reference's replication shadow table (`IBMSNAP_OPERATION`/`IBMSNAP_LOGMARKER`,
+/root/reference/jobs-facilities-common/src/main/java/gov/ca/cwds/jobs/cals/facility/ReplicationPlacementHome.java:24-32)
+and the op-code recode of external operation types
+(/root/reference/jobs-cap-users/src/main/java/gov/ca/cwds/jobs/cap/users/service/CapChangedUsersService.java:33-42).
+
+Float-valued aggregates are rounded to 2 decimals on BOTH sides so the
+driver's exact value-hash is insensitive to summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                                 filter=filter)
+
+
+_OP_CASES = {"signup": "I", "purchase": "D"}
+OP_SQL = ("CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'D' "
+          "ELSE 'U' END")
+
+
+def _derive_op(batch: pa.Table) -> pa.Table:
+    et = batch["event_type"]
+    op = pc.if_else(pc.equal(et, "signup"), "I",
+                    pc.if_else(pc.equal(et, "purchase"), "D", "U"))
+    return batch.append_column("op", op)
+
+
+def _round2(x):
+    """2-decimal rounding bit-identical to DuckDB's ROUND(double, 2).
+
+    pyarrow's ``pc.round`` differs from DuckDB in the final bit for some
+    values; numpy's scaled rint matches exactly (verified on 100k samples).
+    """
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    return pa.array(np.round(x.to_numpy(zero_copy_only=False), 2))
+
+
+# --------------------------------------------------------------------------
+# CDC core on the events feed (S1/S5/S9 + D1/D4 + M8 semantics)
+
+
+def _lww_winners(sf_dir: str) -> ray.data.Dataset:
+    """Block-combine then per-key reduce — the same combine/merge shape as
+    the transcript engine (stages/merge.py), on the events feed.
+
+    Shuffle volume is bounded by distinct user_ids per block (the block-level
+    pre-reduce), not raw events — the scale-critical property.
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def block_winners(batch: pa.Table) -> pa.Table:
+        batch = _derive_op(batch)
+        df = batch.to_pandas()
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("user_id", sort=False).tail(1), preserve_index=False)
+
+    def final_winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return g.tail(1)
+
+    return (
+        ds.map_batches(block_winners, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .map_groups(final_winner, batch_format="pandas")
+    )
+
+
+def cdc_lww_latest(sf_dir: str):
+    """Latest state per key by LWW on (ts, lsn) — the reference's keyed
+    doc-id overwrite (ElasticWriter.java:71-80) made explicit."""
+    ds = _lww_winners(sf_dir)
+    return ds.map_batches(
+        lambda t: t.select(["user_id", "op", "event_type", "value", "ts"])
+                   .append_column("lsn", t["event_id"]),
+        batch_format="pyarrow")
+
+
+def cdc_apply_iud(sf_dir: str):
+    """cdc_lww_latest with tombstone application: keys whose winning op is D
+    are absent from the final state (S9/D4)."""
+    ds = _lww_winners(sf_dir)
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], "D"))
+        return t.select(["user_id", "op", "event_type", "value", "ts"]) \
+                .append_column("lsn", t["event_id"])
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def cdc_watermark(sf_dir: str):
+    """Global watermark probe (A1): max LSN + max ts + count — the
+    first-incremental-savepoint query `select max(IBMSNAP_LOGMARKER)`
+    (QueryConstants.java:25-27)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    row = ds.aggregate(Max("event_id", alias_name="max_lsn"),
+                       Min("event_id", alias_name="min_lsn"),
+                       Max("ts", alias_name="max_ts"),
+                       Count(alias_name="n_events"))
+    return pa.Table.from_pylist([row])
+
+
+def cdc_batch_counters(sf_dir: str):
+    """Per-op counts (A3/A4 consumed-record counters, ConsumerCounter.java)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = ds.map_batches(_derive_op, batch_format="pyarrow")
+    return ds.groupby("op").aggregate(Count(alias_name="n"))
+
+
+def cdc_dedup_redelivery(sf_dir: str):
+    """Idempotent redelivery (D1): the feed unioned with itself must reduce
+    to exactly one row per LSN — distinct-by-key with deterministic payload.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    doubled = ds.union(_read(sf_dir, "events",
+                             columns=["event_id", "user_id", "ts"]))
+
+    def first_per_lsn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    # block-level pre-dedup bounds the shuffle to distinct lsns per block
+    pre = doubled.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates("event_id"), preserve_index=False),
+        batch_format="pyarrow")
+    return pre.groupby("event_id").map_groups(first_per_lsn,
+                                              batch_format="pandas")
+
+
+def savepoint_next_batch(sf_dir: str):
+    """Batch-boundary lookahead (S3/O2): the k-th (ts, lsn) strictly after a
+    watermark — `setFirstResult(batchSize-1).setMaxResults(1)`
+    (CwsChangedIdentifierDao.java:45-60). K=100, watermark 2024-01-05."""
+    wm = pa.scalar(np.datetime64("2024-01-05T00:00:00", "us"))
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"],
+               filter=pc.field("ts") > wm)
+    k = 100
+    rows = ds.sort(["ts", "event_id"]).limit(k).take(k)
+    return pa.Table.from_pylist([rows[-1]])
+
+
+# --------------------------------------------------------------------------
+# filters / projections / normalizers (M1-M8)
+
+
+def filter_project_lineitem(sf_dir: str):
+    """Fused static exclusion predicates + projection (M1/M5: the
+    `licensrCd <> 'CL' AND facilityType <> 1420` scan filter,
+    QueryConstants.java:20-23)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity", "l_extendedprice"],
+               filter=(pc.field("l_returnflag") != "R")
+               & (pc.field("l_quantity") > 40))
+    return ds.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+
+def tombstone_filter(sf_dir: str):
+    """Initial-load tombstone exclusion (M2: `operation != 'D'`,
+    QueryConstants.java:42,50)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    ds = ds.map_batches(_derive_op, batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.filter(pc.not_equal(t["op"], "D")),
+                          batch_format="pyarrow")
+
+
+def inlist_filter(sf_dir: str):
+    """IN-list filter (M3: facilityTypeCode IN (400,403,...),
+    LicenseNumberIdentifier.java:24-26)."""
+    sizes = pa.array([1, 5, 9, 13, 21], pa.int64())
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_brand"],
+               filter=pc.field("p_size").isin(sizes))
+    return ds
+
+
+def trim_normalize(sf_dir: str):
+    """Whitespace trim normalizer (M7: racfIds.map(String::trim),
+    CwsChangedUsersServiceImpl.java:40)."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name_trimmed": pc.utf8_trim_whitespace(t["c_name"]),
+        }), batch_format="pyarrow")
+
+
+def opcode_recode(sf_dir: str):
+    """Dictionary op-code recode (M8) + per-code counts."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = ds.map_batches(_derive_op, batch_format="pyarrow")
+    return ds.groupby(["op", "event_type"]).aggregate(Count(alias_name="n"))
+
+
+# --------------------------------------------------------------------------
+# joins / lookups (J1-J4)
+
+_DIM_CACHE: dict = {}
+
+
+def _broadcast_dims(sf_dir: str):
+    """Load small dimension tables once and ship them to every task via the
+    object store (ray.put once — NOT re-shipped per batch), the Ray-native
+    version of the reference's legacy-dictionaries cache (ST3/J3,
+    CwsFacilityJobModule.java:165-177)."""
+    import pyarrow.parquet as pq
+    key = (sf_dir, "dims")
+    if key not in _DIM_CACHE:
+        nation = pq.read_table(f"{sf_dir}/nation.parquet")
+        region = pq.read_table(f"{sf_dir}/region.parquet")
+        dim = nation.to_pandas().merge(
+            region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+        _DIM_CACHE[key] = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
+    return _DIM_CACHE[key]
+
+
+def join_broadcast_dims(sf_dir: str):
+    """3-way broadcast hash join (J1: UserId ⟕ StaffPerson ⟕ CwsOffice,
+    UserId.java:35-39): customer ⋈ nation ⋈ region, aggregated per region."""
+    ref = _broadcast_dims(sf_dir)
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey",
+                                            "c_acctbal"])
+
+    class JoinDims:
+        def __init__(self):
+            self.dim = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.dim, left_on="c_nationkey",
+                               right_on="n_nationkey")
+
+    joined = ds.map_batches(JoinDims, batch_format="pandas", batch_size=65536,
+                            concurrency=2)
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="sum_acctbal"))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_acctbal"),
+                               "sum_acctbal", _round2(t["sum_acctbal"])),
+        batch_format="pyarrow")
+
+
+def hydration_lookup(sf_dir: str):
+    """Per-id payload hydration (S8/J2: load full entity per changed id via a
+    batched lookup — AbstractChangedFacilityService.java:17-34) as a
+    broadcast-side lookup join: orders enriched with customer attributes."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    ref = ray.put(cust.to_pandas())
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"],
+               filter=pc.field("o_totalprice") > 400_000.0)
+
+    class Hydrate:
+        def __init__(self):
+            self.cust = ray.get(ref).set_index("c_custkey")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.join(self.cust, on="o_custkey", how="left")
+            return out[["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]]
+
+    return ds.map_batches(Hydrate, batch_format="pandas", batch_size=65536,
+                          concurrency=2)
+
+
+def merge_upsert_join(sf_dir: str):
+    """The J4 base⋈delta upsert join shape on relational data: latest event
+    per user (delta winners) LEFT-joined onto the customer 'base' by key —
+    an upsert-join where every delta key overwrites the base attribute."""
+    winners = _lww_winners(sf_dir)
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust.to_pandas())
+
+    class UpsertJoin:
+        def __init__(self):
+            self.base = ray.get(ref).set_index("c_custkey")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.join(self.base, on="user_id", how="left")
+            return out[["user_id", "op", "value", "c_mktsegment"]]
+
+    return winners.map_batches(UpsertJoin, batch_format="pandas",
+                               concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# aggregations / distinct / counts (A1-A5)
+
+
+def agg_pricing_summary(sf_dir: str):
+    """Grouped aggregate with block-level pre-aggregation (the combiner
+    push-down): one partial row per (flag,status) per block enters the
+    shuffle instead of every lineitem row."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("n", alias_name="n"),
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": _round2(t["sum_qty"]),
+            "sum_base": _round2(t["sum_base"]),
+            "sum_disc": _round2(t["sum_disc"]),
+            "n": t["n"],
+        }), batch_format="pyarrow")
+
+
+def distinct_keys(sf_dir: str):
+    """DISTINCT (A2: `select distinct u.logonId`, UserId.java:40-41)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    vals = sorted(ds.unique("user_id"))
+    return pa.table({"user_id": pa.array(vals, pa.int64())})
+
+
+def count_consumed(sf_dir: str):
+    """Consumed-record count (A3, ConsumerCounter.java:16-18)."""
+    n = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    return pa.table({"n_rows": pa.array([n], pa.int64())})
+
+
+def events_window_agg(sf_dir: str):
+    """Tumbling event-time window (streaming concern §2.9): per (user, day)
+    count + sum. Partial per block, then a small groupby — window results
+    never require global ordering."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "day", pc.floor_temporal(batch["ts"], unit="day"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["user_id", "day"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(add_day, batch_format="pyarrow") \
+                 .map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["user_id", "day"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
+                               "sum_value", _round2(t["sum_value"])),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# sort / top-k / union (O1-O4, D3)
+
+
+def topk_hot_keys(sf_dir: str):
+    """Top-10 hottest keys (skew detection input for salting, SURVEY §4.2).
+    Deterministic tie-break on user_id."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def stable_order_head(sf_dir: str):
+    """Stable change ordering (O1: ORDER BY (watermark, id)) — first 200
+    events in total (ts, lsn) order."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return ds.sort(["ts", "event_id"]).limit(200)
+
+
+def union_change_sources(sf_dir: str):
+    """Union of two change feeds (D3: CWS-side + CAP-side change lists,
+    CapUsersIncrementalUpdatesProcessor.java:26-42)."""
+    clicks = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type"],
+                   filter=pc.field("event_type") == "click")
+    errors = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type"],
+                   filter=pc.field("event_type") == "error")
+    return clicks.union(errors)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+QUERIES = {
+    "cdc_lww_latest": cdc_lww_latest,
+    "cdc_apply_iud": cdc_apply_iud,
+    "cdc_watermark": cdc_watermark,
+    "cdc_batch_counters": cdc_batch_counters,
+    "cdc_dedup_redelivery": cdc_dedup_redelivery,
+    "savepoint_next_batch": savepoint_next_batch,
+    "filter_project_lineitem": filter_project_lineitem,
+    "tombstone_filter": tombstone_filter,
+    "inlist_filter": inlist_filter,
+    "trim_normalize": trim_normalize,
+    "opcode_recode": opcode_recode,
+    "join_broadcast_dims": join_broadcast_dims,
+    "hydration_lookup": hydration_lookup,
+    "merge_upsert_join": merge_upsert_join,
+    "agg_pricing_summary": agg_pricing_summary,
+    "distinct_keys": distinct_keys,
+    "count_consumed": count_consumed,
+    "events_window_agg": events_window_agg,
+    "topk_hot_keys": topk_hot_keys,
+    "stable_order_head": stable_order_head,
+    "union_change_sources": union_change_sources,
+}
+
+
+ORACLE_SQL = {
+    "cdc_lww_latest": f"""
+        WITH ev AS (
+          SELECT user_id, {OP_SQL} AS op, event_type, value, ts,
+                 event_id AS lsn
+          FROM events),
+        w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, lsn DESC) AS rn FROM ev)
+        SELECT user_id, op, event_type, value, ts, lsn FROM w WHERE rn = 1
+    """,
+    "cdc_apply_iud": f"""
+        WITH ev AS (
+          SELECT user_id, {OP_SQL} AS op, event_type, value, ts,
+                 event_id AS lsn
+          FROM events),
+        w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, lsn DESC) AS rn FROM ev)
+        SELECT user_id, op, event_type, value, ts, lsn FROM w
+        WHERE rn = 1 AND op <> 'D'
+    """,
+    "cdc_watermark": """
+        SELECT MAX(event_id) AS max_lsn, MIN(event_id) AS min_lsn,
+               MAX(ts) AS max_ts, COUNT(*) AS n_events FROM events
+    """,
+    "cdc_batch_counters": f"""
+        SELECT {OP_SQL} AS op, COUNT(*) AS n FROM events GROUP BY 1
+    """,
+    "cdc_dedup_redelivery": """
+        WITH doubled AS (
+          SELECT event_id, user_id, ts FROM events
+          UNION ALL SELECT event_id, user_id, ts FROM events)
+        SELECT DISTINCT event_id, user_id, ts FROM doubled
+    """,
+    "savepoint_next_batch": """
+        SELECT event_id, ts FROM events
+        WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+        ORDER BY ts, event_id LIMIT 1 OFFSET 99
+    """,
+    "filter_project_lineitem": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_returnflag <> 'R' AND l_quantity > 40
+    """,
+    "tombstone_filter": f"""
+        SELECT event_id, user_id, event_type, {OP_SQL} AS op FROM events
+        WHERE {OP_SQL} <> 'D'
+    """,
+    "inlist_filter": """
+        SELECT p_partkey, p_size, p_brand FROM part
+        WHERE p_size IN (1, 5, 9, 13, 21)
+    """,
+    "trim_normalize": """
+        SELECT c_custkey, TRIM(c_name) AS c_name_trimmed FROM customer
+    """,
+    "opcode_recode": f"""
+        SELECT {OP_SQL} AS op, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "join_broadcast_dims": """
+        SELECT r_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "hydration_lookup": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 400000.0
+    """,
+    "merge_upsert_join": f"""
+        WITH ev AS (
+          SELECT user_id, {OP_SQL} AS op, value, ts, event_id FROM events),
+        w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        SELECT w.user_id, w.op, w.value, c.c_mktsegment
+        FROM w LEFT JOIN customer c ON w.user_id = c.c_custkey
+        WHERE w.rn = 1
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "distinct_keys": "SELECT DISTINCT user_id FROM events",
+    "count_consumed": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "events_window_agg": """
+        SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "topk_hot_keys": """
+        SELECT user_id, COUNT(*) AS n FROM events
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+    "stable_order_head": """
+        SELECT event_id, ts, user_id FROM events
+        ORDER BY ts, event_id LIMIT 200
+    """,
+    "union_change_sources": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_type = 'error'
+    """,
+}
