@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the verification baseline.
+  Query matrix broadcast once via ``ray.put``; each block computes one
+  matmul and emits its PARTIAL top-k (k rows per query per block), so the
+  final reduce sees n_blocks*k tiny rows instead of the full corpus.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path; probes
+  only same-bucket (+1-bit neighbor) candidates.
+- ``cosine_neardup_pairs``: embedding near-duplicate pairs over a threshold.
+
+All cosines are computed in float64 (inputs upcast from float32) to align
+with the DuckDB oracle's DOUBLE[] cast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _mat(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ListArray) or isinstance(arr, pa.FixedSizeListArray):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.float64)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                query_ids: np.ndarray, k: int) -> ray.data.Dataset:
+    """Exact top-k neighbors per query by cosine; returns
+    (query_id, vec_id, rank) with rank 1..k, ties broken on vec_id."""
+    qref = ray.put((_unit(queries), query_ids))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q, self.qids = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _unit(_mat(batch["embedding"]))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            sims = self.q @ m.T  # (n_queries, n_block)
+            kk = min(k, sims.shape[1])
+            # partial top-k per query within this block
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(self.qids, kk)
+            vi = ids[part.reshape(-1)]
+            sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+            return pa.table({"query_id": pa.array(qi, pa.int64()),
+                             "vec_id": pa.array(vi, pa.int64()),
+                             "sim": pa.array(sv)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
+                              batch_size=4096, concurrency=2)
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+N_PLANES = 8  # 2^8 buckets
+
+
+def _planes(dim: int, seed: int = 11) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((N_PLANES, dim))
+
+
+def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
+             query_ids: np.ndarray, k: int, dim: int) -> ray.data.Dataset:
+    """Approximate top-k: random-hyperplane signatures bucket the corpus;
+    each query probes only its own bucket (plus Hamming-1 neighbors)."""
+    planes = _planes(dim)
+    qsig = (( _unit(queries) @ planes.T) > 0).astype(np.int64)
+    qbuck = (qsig * (1 << np.arange(N_PLANES))).sum(axis=1)
+    probe = {int(b) for b in qbuck}
+    for b in list(probe):
+        probe |= {b ^ (1 << i) for i in range(N_PLANES)}
+    qref = ray.put((_unit(queries), query_ids, qbuck, np.array(sorted(probe))))
+
+    class BucketedTopK:
+        def __init__(self):
+            self.q, self.qids, self.qbuck, self.probe = ray.get(qref)
+            self.planes = planes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _unit(_mat(batch["embedding"]))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            sig = ((m @ self.planes.T) > 0).astype(np.int64)
+            buck = (sig * (1 << np.arange(N_PLANES))).sum(axis=1)
+            keep = np.isin(buck, self.probe)
+            m, ids, buck = m[keep], ids[keep], buck[keep]
+            if len(ids) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            sims = self.q @ m.T
+            # candidate mask: vector bucket within Hamming-1 of query bucket
+            xor = self.qbuck[:, None] ^ buck[None, :]
+            cand = (xor == 0) | (np.bitwise_count(xor.astype(np.uint64)) == 1) \
+                if hasattr(np, "bitwise_count") else (
+                    np.vectorize(lambda v: bin(v).count("1"))(xor) <= 1)
+            sims = np.where(cand, sims, -np.inf)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(self.qids, kk)
+            vi = ids[part.reshape(-1)]
+            sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+            ok = np.isfinite(sv)
+            return pa.table({"query_id": pa.array(qi[ok], pa.int64()),
+                             "vec_id": pa.array(vi[ok], pa.int64()),
+                             "sim": pa.array(sv[ok])})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    partials = ds.map_batches(BucketedTopK, batch_format="pyarrow",
+                              batch_size=4096, concurrency=2)
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine >= threshold: corpus matrix broadcast
+    once, one matmul per block (embedding-cosine near-dup detection)."""
+    tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    full = _unit(np.asarray(tbl["embedding"].tolist(), dtype=np.float64))
+    ids_all = tbl["vec_id"].to_numpy()
+    ref = ray.put((full, ids_all))
+
+    class Pairs:
+        def __init__(self):
+            self.m, self.ids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.ids, bids)
+            sims = self.m[idx] @ self.m.T
+            mask = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
+            ai, bj = np.nonzero(mask)
+            return pa.table({"vec_a": pa.array(bids[ai], pa.int64()),
+                             "vec_b": pa.array(self.ids[bj], pa.int64())})
+
+    return ds.select_columns(["vec_id"]).map_batches(
+        Pairs, batch_format="pyarrow", batch_size=2048, concurrency=2)

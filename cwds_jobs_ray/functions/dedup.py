@@ -1,0 +1,186 @@
+"""Deduplication operators: exact, word-set Jaccard (brute verified),
+MinHash+LSH (scale path).
+
+Design per ray_guide aggregation-at-scale pattern: content hash added in a
+vectorized ``map_batches``; exact dedup is hash-partitioned per-group-first;
+near-dup is shingle -> minhash -> band-bucket groupby -> candidate pairs ->
+exact verify, with connected components left to the caller.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep the lowest doc_id per exact text; emit copy count.
+
+    Scale shape: per-block pre-reduce (distinct texts per block) -> shuffle by
+    content hash (tiny rows) -> per-group min/sum. The text itself only
+    crosses the wire once per distinct value per block.
+    """
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_array(df["text"].to_numpy(object))
+        df["_h"] = h.astype(np.int64)
+        g = df.groupby("_h", sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
+            text=("text", "first")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        # same-hash group: resolve per exact text (hash collisions safe)
+        out = g.groupby("text", sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")).reset_index()
+        return out[["doc_id", "n_copies"]]
+
+    return ds.map_batches(pre, batch_format="pyarrow").groupby("_h") \
+             .map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------- word-set Jaccard (brute force)
+
+def _doc_term_matrix(texts: list[str]):
+    """Boolean doc x vocab matrix over distinct words (vocab is small for
+    verification corpora; the LSH path below is the open-vocab scale path)."""
+    vocab: dict[str, int] = {}
+    rows, cols = [], []
+    for i, t in enumerate(texts):
+        for w in set(t.split(" ")):
+            j = vocab.setdefault(w, len(vocab))
+            rows.append(i)
+            cols.append(j)
+    m = np.zeros((len(texts), len(vocab)), dtype=np.float32)
+    m[rows, cols] = 1.0
+    return m
+
+
+def jaccard_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
+    """All pairs (a < b) with word-set Jaccard >= threshold.
+
+    Distributed shape: the doc-term matrix of the full (small) corpus is
+    broadcast once via ``ray.put``; each task compares ITS batch against all
+    docs with a higher doc_id using one matmul — set intersections become
+    integer dot products, so the Jaccard value is the exact same rational
+    number the SQL oracle computes (no float drift).
+    """
+    tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
+    tbl = tbl.sort_values("doc_id").reset_index(drop=True)
+    m = _doc_term_matrix(tbl["text"].tolist())
+    sizes = m.sum(axis=1)
+    ref = ray.put((tbl["doc_id"].to_numpy(), m, sizes))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.m, self.sizes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.ids, batch["doc_id"].to_numpy())
+            inter = (self.m[idx] @ self.m.T).astype(np.int64)  # |A ∩ B|
+            sz = self.sizes.astype(np.int64)
+            union = sz[idx][:, None] + sz[None, :] - inter
+            j = inter / union
+            a_ids = self.ids[idx]
+            mask = (j >= threshold) & (a_ids[:, None] < self.ids[None, :])
+            ai, bj = np.nonzero(mask)
+            return pd.DataFrame({
+                "doc_a": a_ids[ai],
+                "doc_b": self.ids[bj],
+                "jaccard": j[ai, bj],
+            })
+
+    return (ds.select_columns(["doc_id"])
+              .map_batches(PairFinder, batch_format="pandas", batch_size=512,
+                           concurrency=2))
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+N_PERM = 64
+N_BANDS = 16  # 4 rows/band -> catches ~0.5+ Jaccard with high probability
+# 31-bit universal hashing so (a*x + b) never overflows int64
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(batch: pa.Table, shingle: int = 3) -> pa.Table:
+    """Per-doc MinHash signature over word `shingle`-grams (vectorized over
+    each doc's shingle set)."""
+    a, b = _PERMS
+    texts = batch["text"].to_pylist()
+    sigs = np.empty((len(texts), N_PERM), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        if len(ws) >= shingle:
+            sh = [" ".join(ws[k:k + shingle]) for k in range(len(ws) - shingle + 1)]
+        else:
+            sh = [t]
+        hv = (pd.util.hash_array(np.asarray(sh, dtype=object))
+              .astype(np.int64) & _MERSENNE)
+        # (a*x + b) mod p for all perms x all shingles, min over shingles;
+        # 31-bit operands keep the int64 products overflow-free
+        vals = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        sigs[i] = vals.min(axis=0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1)), N_PERM),
+    })
+
+
+_PERMS = _perm_params()
+
+
+def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Dataset:
+    """MinHash-LSH near-dup candidates: signature -> (band, band_hash) rows
+    -> bucket groupby -> within-bucket pairs. The only shuffle carries
+    (band_id, band_hash, doc_id) ints.
+
+    ``shingle`` sets the feature granularity the estimated Jaccard is over:
+    1 = word sets (matches ``jaccard_pairs``); 3+ = word n-gram shingles
+    (the usual web-dedup choice when word order matters)."""
+    rows_per_band = N_PERM // N_BANDS
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.int64)
+        n = sig.shape[0]
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands = sig.reshape(n, N_BANDS, rows_per_band)
+        # hash each band row-tuple
+        bh = np.zeros((n, N_BANDS), dtype=np.int64)
+        for r in range(rows_per_band):
+            bh = bh * np.int64(1000003) + bands[:, :, r]
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(N_BANDS), n), pa.int32()),
+            "band_hash": pa.array(bh.T.reshape(-1)),
+            "doc_id": pa.array(np.tile(doc, N_BANDS)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ai, bj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+
+    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow",
+                          fn_kwargs={"shingle": shingle})
+    bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # dedup candidate pairs produced by multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

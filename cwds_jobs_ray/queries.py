@@ -44,15 +44,18 @@ def _derive_op(batch: pa.Table) -> pa.Table:
     return batch.append_column("op", op)
 
 
-def _round2(x):
-    """2-decimal rounding bit-identical to DuckDB's ROUND(double, 2).
+def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Rounding bit-identical to DuckDB's ROUND(double, d): half away from
+    zero (numpy/pyarrow round half-to-even, which differs on exact halves
+    like 1/32; verified equal to DuckDB on 100k signed samples)."""
+    s = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
 
-    pyarrow's ``pc.round`` differs from DuckDB in the final bit for some
-    values; numpy's scaled rint matches exactly (verified on 100k samples).
-    """
+
+def _round2(x):
     if isinstance(x, pa.ChunkedArray):
         x = x.combine_chunks()
-    return pa.array(np.round(x.to_numpy(zero_copy_only=False), 2))
+    return pa.array(round_half_away(x.to_numpy(zero_copy_only=False), 2))
 
 
 # --------------------------------------------------------------------------
@@ -419,6 +422,143 @@ def union_change_sources(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# training-data operators (dedup / similarity / text analysis / multimodal)
+
+
+def dedup_exact_text(sf_dir: str):
+    """Exact dedup: lowest doc_id per distinct text + copy count
+    (hash-partitioned per-group-first; see functions/dedup.py)."""
+    from .functions.dedup import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def text_quality(sf_dir: str):
+    """Quality features: char/word counts, EN-marker count & ratio."""
+    from .functions.text import quality_features
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_features, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+def token_counts_by_lang(sf_dir: str):
+    """Corpus token counting grouped by language (budgeting input for
+    training-data pipelines)."""
+    from .functions.text import n_words as _nw
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "nw": _nw(batch["text"]).to_pandas()})
+        g = df.groupby("lang", sort=False).agg(
+            n_tokens=("nw", "sum"), n_docs=("nw", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_docs", alias_name="n_docs"))
+
+
+def lang_id_heuristic(sf_dir: str):
+    """Marker-density language ID (functions/text.py)."""
+    from .functions.text import lang_id
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint (md5) per document."""
+    from .functions.text import md5_fingerprint
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+def simhash_fingerprint(sf_dir: str):
+    """64-bit SimHash per document (no SQL equivalent — rows-only check)."""
+    from .functions.text import simhash_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow",
+                          batch_size=2048)
+
+
+JACCARD_THRESHOLD = 0.95
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """Word-set Jaccard near-dup pairs (brute-force verified baseline;
+    integer set sizes -> the Jaccard double is bit-identical to SQL)."""
+    from .functions.dedup import jaccard_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_pairs(ds, JACCARD_THRESHOLD)
+
+
+def minhash_lsh_dups(sf_dir: str):
+    """MinHash+LSH candidate near-dup pairs over word 3-gram shingles
+    (order-sensitive near-duplication, the web-dedup standard; the word-SET
+    variant is exercised with shingle=1 in tests against the brute-force
+    baseline). Probabilistic — rows-only check."""
+    from .functions.dedup import lsh_candidate_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lsh_candidate_pairs(ds, shingle=3)
+
+
+ANN_K = 10
+ANN_N_QUERIES = 5
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.field("vec_id") < ANN_N_QUERIES)
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return q, t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Exact cosine top-k per query vector (brute force baseline)."""
+    from .functions.ann import cosine_topk
+    q, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_topk(ds, q, qids, ANN_K)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-k (scale path; rows-only check,
+    recall measured against the exact baseline in tests)."""
+    from .functions.ann import lsh_topk
+    q, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q, qids, ANN_K, dim=q.shape[1])
+
+
+COSINE_NEARDUP_THRESHOLD = 0.5
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs over a threshold."""
+    from .functions.ann import cosine_neardup_pairs
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
+
+
+def multimodal_features(sf_dir: str):
+    """Multimodal plumbing demo: opaque binary payloads -> actor-pool
+    decode/feature stage (decode kernel stubbed; see functions/multimodal.py).
+    Rows-only check (no SQL equivalent)."""
+    from .functions.multimodal import extract_features, fake_media_table
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = fake_media_table(docs["text"].to_pylist(),
+                             docs["doc_id"].to_pylist())
+    ds = ray.data.from_arrow(media)
+    out = extract_features(ds)
+    return out.drop_columns(["feature"])  # list col dropped for the check
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -444,6 +584,19 @@ QUERIES = {
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
     "union_change_sources": union_change_sources,
+    # training-data operators
+    "dedup_exact_text": dedup_exact_text,
+    "text_quality": text_quality,
+    "token_counts_by_lang": token_counts_by_lang,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "simhash_fingerprint": simhash_fingerprint,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_dups": minhash_lsh_dups,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "multimodal_features": multimodal_features,
 }
 
 
@@ -557,3 +710,70 @@ ORACLE_SQL = {
         WHERE event_type = 'error'
     """,
 }
+
+_MARKERS_SQL = ", ".join(f"'{w}'" for w in
+                         ("the", "a", "of", "and", "to", "in", "is"))
+_NW_SQL = "LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1"
+_NSTOP_SQL = (f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), "
+              f"x -> x IN ({_MARKERS_SQL})))")
+
+ORACLE_SQL.update({
+    "dedup_exact_text": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_calc,
+               {_NW_SQL} AS n_words,
+               {_NSTOP_SQL} AS n_stopwords,
+               ROUND({_NSTOP_SQL}::DOUBLE / ({_NW_SQL}), 4) AS stopword_ratio
+        FROM documents
+    """,
+    "token_counts_by_lang": f"""
+        SELECT lang, SUM({_NW_SQL})::BIGINT AS n_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "lang_id_heuristic": f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_NSTOP_SQL} >= 3 THEN 'en' ELSE 'other' END
+                   AS lang_pred
+        FROM documents
+    """,
+    "doc_fingerprint": "SELECT doc_id, MD5(text) AS fp FROM documents",
+    "ngram_jaccard_pairs": f"""
+        WITH d AS (SELECT doc_id,
+                          LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
+                   FROM documents),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     LEN(LIST_INTERSECT(a.w, b.w))::DOUBLE
+                     / (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w)))
+                         AS jaccard
+              FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM p
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "ann_cosine_topk": f"""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+        s AS (SELECT q.qid, e.vec_id,
+                     LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                            q.qe) AS sim
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+        SELECT qid AS query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
+    """,
+    "embedding_neardup_pairs": f"""
+        WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                          LIST_COSINE_SIMILARITY(
+                              CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS s
+                   FROM embeddings a JOIN embeddings b
+                     ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b FROM p WHERE s >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+})

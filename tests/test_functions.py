@@ -1,0 +1,106 @@
+"""Tests for the training-data operators (functions/): the probabilistic /
+non-SQL operators are validated against exact baselines here, since the
+driver's DuckDB gate can only do rows-only checks on them."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cwds_jobs_ray.functions.ann import cosine_neardup_pairs, cosine_topk, lsh_topk
+from cwds_jobs_ray.functions.dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs
+from cwds_jobs_ray.functions.multimodal import extract_features, fake_media_table
+from cwds_jobs_ray.functions.text import simhash_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def test_exact_dedup_with_injected_duplicates():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n = t.num_rows
+    dup = t.slice(0, 10).set_column(
+        0, "doc_id", pa.array(np.arange(n, n + 10), pa.int64()))
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == n  # duplicates collapse to the originals
+    assert out["n_copies"].sum() == n + 10
+    assert (out.sort_values("doc_id").head(10)["n_copies"] == 2).all()
+    # lowest doc_id is kept
+    assert set(out["doc_id"]) == set(range(n))
+
+
+def test_lsh_recall_vs_brute_force():
+    ds = _docs()
+    brute = jaccard_pairs(ds, 0.95).to_pandas()
+    true_pairs = set(zip(brute["doc_a"], brute["doc_b"]))
+    cand = lsh_candidate_pairs(ds).to_pandas()
+    cand_pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+    # MinHash with 16 bands x 4 rows catches >=0.95-Jaccard pairs whp
+    if true_pairs:
+        recall = len(true_pairs & cand_pairs) / len(true_pairs)
+        assert recall >= 0.9, (recall, len(true_pairs))
+
+
+def test_ann_lsh_recall_vs_exact():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    qids = np.arange(3, dtype=np.int64)
+    exact = cosine_topk(ds, q, qids, 5).to_pandas()
+    approx = lsh_topk(ds, q, qids, 5, dim=q.shape[1]).to_pandas()
+    # self must always be found (sim=1.0 in its own bucket)
+    for i in range(3):
+        got = set(approx[approx["query_id"] == i]["vec_id"])
+        assert t["vec_id"][i].as_py() in got
+    # overall recall of the approximate index against exact top-5
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+    ap = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(ex & ap) / len(ex) >= 0.2  # LSH@8 planes is coarse by design
+
+
+def test_cosine_neardup_symmetric_exclusion():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = cosine_neardup_pairs(ds, 0.4).to_pandas()
+    assert (out["vec_a"] < out["vec_b"]).all()  # each pair exactly once
+
+
+def test_simhash_similar_docs_close():
+    texts = ["a b c d e f g h i j",
+             "a b c d e f g h i k",   # one word changed
+             "z y x w v u t s r q"]   # disjoint
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts)})
+    out = simhash_batch(t)
+    h = [np.uint64(v) for v in out["simhash"].to_numpy(zero_copy_only=False)
+         .view(np.uint64)]
+    d01 = bin(int(h[0] ^ h[1])).count("1")
+    d02 = bin(int(h[0] ^ h[2])).count("1")
+    assert d01 < d02  # near-identical docs are closer in Hamming space
+
+
+def test_multimodal_feature_plumbing():
+    media = fake_media_table(["hello world", "foo bar baz"], [0, 1])
+    ds = ray.data.from_arrow(media)
+    out = extract_features(ds, concurrency=1).to_pandas()
+    assert list(out.columns) == ["media_id", "kind", "n_bytes", "feature"]
+    assert len(out) == 2
+    assert all(len(f) == 32 for f in out["feature"])
+    # deterministic: same payload -> same features
+    out2 = extract_features(ray.data.from_arrow(media), concurrency=1).to_pandas()
+    assert np.array_equal(np.stack(out["feature"].to_numpy()),
+                          np.stack(out2["feature"].to_numpy()))
+
+
+def test_multimodal_unknown_kind_raises():
+    media = fake_media_table(["x"], [0]).set_column(
+        1, "kind", pa.array(["video"]))
+    ds = ray.data.from_arrow(media)
+    with pytest.raises(Exception):
+        extract_features(ds, concurrency=1).to_pandas()
