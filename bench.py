@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract).
+
+Headline: end-to-end WAL replay -> committed Parquet (the BASELINE.json
+metric, change-events/sec applied) on a deterministic transcript workload
+scaled from $GRAFT_SF_DIR, plus a subset of catalog queries.
+
+Prints ONE JSON line:
+  {"metric": "cdc_wal_replay", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+`--scaling`: runs the same workload in two fresh processes at num_cpus=8 and
+num_cpus=32 and reports both throughputs + scaling efficiency (the sandbox
+stand-in for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EVENTS_MULTIPLIER = int(os.environ.get("BENCH_EVENTS_MULT", "100"))
+
+BENCH_QUERIES = [
+    "cdc_lww_latest",
+    "agg_pricing_summary",
+    "events_window_agg",
+    "dedup_exact_text",
+    "ann_cosine_topk",
+    "join_broadcast_dims",
+]
+
+
+def _spec(n_events: int):
+    from cwds_jobs_ray.synth import WalSpec
+
+    return WalSpec(
+        seed=42,
+        n_convs=max(100, n_events // 100),
+        turns_per_conv=8,
+        n_events=n_events,
+        n_segments=32,
+        dup_redelivery_frac=0.05,
+        out_of_order_frac=0.10,
+        hot_key_frac=0.05,
+        schema_v1_segments=4,
+    )
+
+
+def _workload():
+    """Synthesize (once, cached) the bench workload derived from SF_DIR."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.synth import synthesize
+
+    n_src = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.num_rows
+    n_events = n_src * EVENTS_MULTIPLIER
+    spec = _spec(n_events)
+    tag = hashlib.md5(repr(spec).encode()).hexdigest()[:10]
+    work = f"/tmp/cwds_jobs_ray_cache/bench_{tag}"
+    if not os.path.isdir(os.path.join(work, "wal")):
+        os.makedirs(work, exist_ok=True)
+        synthesize(spec, work)
+    return work, n_events
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.queries import QUERIES
+
+    work, n_events = _workload()
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    for root, _dirs, files in os.walk(work):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    # best-of-N timed reps: the sandbox shows heavy wall-clock noise from
+    # neighboring load; min is the faithful estimate of pipeline cost
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    t_initial, t_apply, manifest = None, None, None
+    for rep in range(reps):
+        table_dir = f"{work}/table_cpus{NUM_CPUS}_r{rep}"
+        shutil.rmtree(table_dir, ignore_errors=True)
+        job = CDCJob(table_dir, f"{work}/wal", num_partitions=64,
+                     events_per_batch=12_000_000)
+        t0 = time.perf_counter()
+        manifest = job.initial_load(f"{work}/base/base.parquet", None)
+        ti = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        manifest = job.apply_wal(manifest)
+        ta = time.perf_counter() - t0
+        t_initial = ti if t_initial is None else min(t_initial, ti)
+        t_apply = ta if t_apply is None else min(t_apply, ta)
+        shutil.rmtree(table_dir, ignore_errors=True)
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "cdc_wal_replay",
+        "value": round(t_apply, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "n_events": n_events,
+        "events_per_sec": round(n_events / t_apply, 1),
+        "initial_load_sec": round(t_initial, 3),
+        "rows_final": manifest.total("rows_applied"),
+        "conflicts": manifest.total("conflict_count"),
+        "dedup": manifest.total("dedup_count"),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    """Same job at two parallelism levels in fresh processes (the in-sandbox
+    stand-in for the N vs 4N cluster-size criterion). Levels are INTERLEAVED
+    over several rounds and the best (min) wall per level is reported — this
+    sandbox shows multi-second wall noise between identical runs.
+    """
+    lo, hi = (int(x) for x in os.environ.get("SCALING_PAIR", "8,32").split(","))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    best: dict[int, dict] = {}
+    for _ in range(rounds):
+        for n in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_REPS="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if n not in best or r["value"] < best[n]["value"]:
+                best[n] = r
+    thr_lo = best[lo]["events_per_sec"]
+    thr_hi = best[hi]["events_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "cdc_wal_replay_scaling",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": best[lo]["value"], "sec_hi": best[hi]["value"],
+        "events_per_sec_lo": thr_lo, "events_per_sec_hi": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "rounds": rounds,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

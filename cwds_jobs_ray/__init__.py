@@ -19,3 +19,10 @@ incremental modes, crash resume, atomic publish) from it.
 """
 
 __version__ = "0.1.0"
+
+# Ray provides the parallelism (one task per core); nested thread pools
+# inside workers only thrash. Polars reads this at import time — set it
+# before any worker imports polars. (Ray already pins OMP/MKL for numpy.)
+import os as _os
+
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")

@@ -41,23 +41,20 @@ def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
     (query_id, vec_id, rank) with rank 1..k, ties broken on vec_id."""
     qref = ray.put((_unit(queries), query_ids))
 
-    class PartialTopK:
-        def __init__(self):
-            self.q, self.qids = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _unit(_mat(batch["embedding"]))
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            sims = self.q @ m.T  # (n_queries, n_block)
-            kk = min(k, sims.shape[1])
-            # partial top-k per query within this block
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qi = np.repeat(self.qids, kk)
-            vi = ids[part.reshape(-1)]
-            sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
-            return pa.table({"query_id": pa.array(qi, pa.int64()),
-                             "vec_id": pa.array(vi, pa.int64()),
-                             "sim": pa.array(sv)})
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)  # zero-copy from local object store
+        m = _unit(_mat(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = q @ m.T  # (n_queries, n_block)
+        kk = min(k, sims.shape[1])
+        # partial top-k per query within this block
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(qids, kk)
+        vi = ids[part.reshape(-1)]
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        return pa.table({"query_id": pa.array(qi, pa.int64()),
+                         "vec_id": pa.array(vi, pa.int64()),
+                         "sim": pa.array(sv)})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
@@ -66,8 +63,8 @@ def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "vec_id", "rank"]]
 
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow",
-                              batch_size=4096, concurrency=2)
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096)
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
@@ -90,38 +87,32 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
         probe |= {b ^ (1 << i) for i in range(N_PLANES)}
     qref = ray.put((_unit(queries), query_ids, qbuck, np.array(sorted(probe))))
 
-    class BucketedTopK:
-        def __init__(self):
-            self.q, self.qids, self.qbuck, self.probe = ray.get(qref)
-            self.planes = planes
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _unit(_mat(batch["embedding"]))
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            sig = ((m @ self.planes.T) > 0).astype(np.int64)
-            buck = (sig * (1 << np.arange(N_PLANES))).sum(axis=1)
-            keep = np.isin(buck, self.probe)
-            m, ids, buck = m[keep], ids[keep], buck[keep]
-            if len(ids) == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            sims = self.q @ m.T
-            # candidate mask: vector bucket within Hamming-1 of query bucket
-            xor = self.qbuck[:, None] ^ buck[None, :]
-            cand = (xor == 0) | (np.bitwise_count(xor.astype(np.uint64)) == 1) \
-                if hasattr(np, "bitwise_count") else (
-                    np.vectorize(lambda v: bin(v).count("1"))(xor) <= 1)
-            sims = np.where(cand, sims, -np.inf)
-            kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qi = np.repeat(self.qids, kk)
-            vi = ids[part.reshape(-1)]
-            sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
-            ok = np.isfinite(sv)
-            return pa.table({"query_id": pa.array(qi[ok], pa.int64()),
-                             "vec_id": pa.array(vi[ok], pa.int64()),
-                             "sim": pa.array(sv[ok])})
+    def bucketed_topk(batch: pa.Table) -> pa.Table:
+        q, qids, qb, probe_arr = ray.get(qref)
+        m = _unit(_mat(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sig = ((m @ planes.T) > 0).astype(np.int64)
+        buck = (sig * (1 << np.arange(N_PLANES))).sum(axis=1)
+        keep = np.isin(buck, probe_arr)
+        m, ids, buck = m[keep], ids[keep], buck[keep]
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = q @ m.T
+        # candidate mask: vector bucket within Hamming-1 of query bucket
+        xor = qb[:, None] ^ buck[None, :]
+        pop = np.vectorize(lambda v: bin(int(v)).count("1"))(xor)
+        sims = np.where(pop <= 1, sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(qids, kk)
+        vi = ids[part.reshape(-1)]
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        ok = np.isfinite(sv)
+        return pa.table({"query_id": pa.array(qi[ok], pa.int64()),
+                         "vec_id": pa.array(vi[ok], pa.int64()),
+                         "sim": pa.array(sv[ok])})
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
@@ -129,8 +120,8 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "vec_id", "rank"]]
 
-    partials = ds.map_batches(BucketedTopK, batch_format="pyarrow",
-                              batch_size=4096, concurrency=2)
+    partials = ds.map_batches(bucketed_topk, batch_format="pyarrow",
+                              batch_size=4096)
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
@@ -143,18 +134,15 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dat
     ids_all = tbl["vec_id"].to_numpy()
     ref = ray.put((full, ids_all))
 
-    class Pairs:
-        def __init__(self):
-            self.m, self.ids = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.ids, bids)
-            sims = self.m[idx] @ self.m.T
-            mask = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
-            ai, bj = np.nonzero(mask)
-            return pa.table({"vec_a": pa.array(bids[ai], pa.int64()),
-                             "vec_b": pa.array(self.ids[bj], pa.int64())})
+    def pairs(batch: pa.Table) -> pa.Table:
+        m, ids_s = ray.get(ref)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ids_s, bids)
+        sims = m[idx] @ m.T
+        mask = (sims >= threshold) & (bids[:, None] < ids_s[None, :])
+        ai, bj = np.nonzero(mask)
+        return pa.table({"vec_a": pa.array(bids[ai], pa.int64()),
+                         "vec_b": pa.array(ids_s[bj], pa.int64())})
 
     return ds.select_columns(["vec_id"]).map_batches(
-        Pairs, batch_format="pyarrow", batch_size=2048, concurrency=2)
+        pairs, batch_format="pyarrow", batch_size=2048)

@@ -77,28 +77,24 @@ def jaccard_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
     sizes = m.sum(axis=1)
     ref = ray.put((tbl["doc_id"].to_numpy(), m, sizes))
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.m, self.sizes = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(self.ids, batch["doc_id"].to_numpy())
-            inter = (self.m[idx] @ self.m.T).astype(np.int64)  # |A ∩ B|
-            sz = self.sizes.astype(np.int64)
-            union = sz[idx][:, None] + sz[None, :] - inter
-            j = inter / union
-            a_ids = self.ids[idx]
-            mask = (j >= threshold) & (a_ids[:, None] < self.ids[None, :])
-            ai, bj = np.nonzero(mask)
-            return pd.DataFrame({
-                "doc_a": a_ids[ai],
-                "doc_b": self.ids[bj],
-                "jaccard": j[ai, bj],
-            })
+    def pair_finder(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, mm, msizes = ray.get(ref)  # zero-copy from local object store
+        idx = np.searchsorted(ids, batch["doc_id"].to_numpy())
+        inter = (mm[idx] @ mm.T).astype(np.int64)  # |A ∩ B|
+        sz = msizes.astype(np.int64)
+        union = sz[idx][:, None] + sz[None, :] - inter
+        j = inter / union
+        a_ids = ids[idx]
+        mask = (j >= threshold) & (a_ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(mask)
+        return pd.DataFrame({
+            "doc_a": a_ids[ai],
+            "doc_b": ids[bj],
+            "jaccard": j[ai, bj],
+        })
 
     return (ds.select_columns(["doc_id"])
-              .map_batches(PairFinder, batch_format="pandas", batch_size=512,
-                           concurrency=2))
+              .map_batches(pair_finder, batch_format="pandas", batch_size=512))
 
 
 # --------------------------------------------------------- MinHash + LSH

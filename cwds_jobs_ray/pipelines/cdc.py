@@ -31,7 +31,14 @@ import ray.data
 
 from ..schema import CHANGE_SCHEMA_V2, TRANSCRIPT_SCHEMA, PUBLIC_COLS, unify_change_schemas
 from ..sources.wal import SegmentInfo, batch_schema, list_segments, plan_batches
-from ..stages.merge import STATS_COLUMNS, make_combiner, make_partition_merger, make_snapshot_writer
+from ..stages.merge import (
+    STATS_COLUMNS,
+    combine_and_split,
+    make_combiner,
+    make_partition_merger,
+    make_snapshot_writer,
+    merge_partition_slices,
+)
 from ..stages.partition import add_partition_column
 from ..state.manifest import (
     INCREMENTAL_LOAD,
@@ -54,12 +61,14 @@ class CDCJob:
         num_partitions: int = 16,
         events_per_batch: int = 500_000,
         combine_batch_size: int = 65_536,
+        slice_group_size: int = 8,
     ):
         self.table_dir = table_dir
         self.wal_dir = wal_dir
         self.num_partitions = num_partitions
         self.events_per_batch = events_per_batch
         self.combine_batch_size = combine_batch_size
+        self.slice_group_size = slice_group_size
 
     # ------------------------------------------------------------------ run
     def run(
@@ -171,18 +180,39 @@ class CDCJob:
         base_files = {i: manifest.part(i).file
                       for i in range(self.num_partitions)}
 
-        ds = ray.data.read_parquet([s.path for s in batch])
-        ds = ds.map_batches(
-            make_combiner(change_schema, self.num_partitions, watermarks),
-            batch_format="pyarrow", batch_size=self.combine_batch_size)
-        stats = (
-            ds.groupby("part")
-            .map_groups(
-                make_partition_merger(self.table_dir, version, target,
-                                      watermarks, base_files),
-                batch_format="pandas")
-        )
-        stats_df = stats.to_pandas()  # P rows — tiny
+        # direct two-stage shuffle (see stages/merge.py rationale): combine
+        # tasks emit per-partition slices via num_returns=P; merge tasks
+        # reduce exactly one partition each, reading the base partition
+        # locally — base rows never cross the wire.
+        P = self.num_partitions
+        chunks: list[list[str]] = []
+        cur, cur_rows = [], 0
+        for s in batch:
+            cur.append(s.path)
+            cur_rows += s.rows
+            if cur_rows >= self.combine_batch_size:
+                chunks.append(cur)
+                cur, cur_rows = [], 0
+        if cur:
+            chunks.append(cur)
+
+        G = self.slice_group_size
+        n_groups = -(-P // G)
+        combine_task = ray.remote(num_returns=n_groups)(combine_and_split)
+        merge_task = ray.remote(merge_partition_slices)
+        slice_refs = [
+            combine_task.remote(paths, change_schema, P, watermarks, G)
+            for paths in chunks
+        ]
+        if n_groups == 1:  # num_returns=1 returns a bare ref, normalize
+            slice_refs = [[r] for r in slice_refs]
+        merger = make_partition_merger(self.table_dir, version, target,
+                                       watermarks, base_files)
+        stats_refs = [
+            merge_task.remote(p, merger, *[refs[p // G] for refs in slice_refs])
+            for p in range(P)
+        ]
+        stats_df = pd.concat(ray.get(stats_refs), ignore_index=True)
 
         new_m = Manifest(
             job_mode=manifest.job_mode,

@@ -245,16 +245,13 @@ def join_broadcast_dims(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey",
                                             "c_acctbal"])
 
-    class JoinDims:
-        def __init__(self):
-            self.dim = ray.get(ref)  # once per actor
+    def join_dims(batch: pd.DataFrame) -> pd.DataFrame:
+        # ray.get on a worker resolves from the local object store (the
+        # broadcast table is fetched once per node, not per batch)
+        return batch.merge(ray.get(ref), left_on="c_nationkey",
+                           right_on="n_nationkey")
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.dim, left_on="c_nationkey",
-                               right_on="n_nationkey")
-
-    joined = ds.map_batches(JoinDims, batch_format="pandas", batch_size=65536,
-                            concurrency=2)
+    joined = ds.map_batches(join_dims, batch_format="pandas", batch_size=65536)
     out = joined.groupby("r_name").aggregate(
         Count(alias_name="n_customers"),
         Sum("c_acctbal", alias_name="sum_acctbal"))
@@ -276,16 +273,12 @@ def hydration_lookup(sf_dir: str):
                columns=["o_orderkey", "o_custkey", "o_totalprice"],
                filter=pc.field("o_totalprice") > 400_000.0)
 
-    class Hydrate:
-        def __init__(self):
-            self.cust = ray.get(ref).set_index("c_custkey")
+    def hydrate(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.join(ray.get(ref).set_index("c_custkey"),
+                         on="o_custkey", how="left")
+        return out[["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.join(self.cust, on="o_custkey", how="left")
-            return out[["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]]
-
-    return ds.map_batches(Hydrate, batch_format="pandas", batch_size=65536,
-                          concurrency=2)
+    return ds.map_batches(hydrate, batch_format="pandas", batch_size=65536)
 
 
 def merge_upsert_join(sf_dir: str):
@@ -298,16 +291,12 @@ def merge_upsert_join(sf_dir: str):
                          columns=["c_custkey", "c_mktsegment"])
     ref = ray.put(cust.to_pandas())
 
-    class UpsertJoin:
-        def __init__(self):
-            self.base = ray.get(ref).set_index("c_custkey")
+    def upsert_join(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.join(ray.get(ref).set_index("c_custkey"),
+                         on="user_id", how="left")
+        return out[["user_id", "op", "value", "c_mktsegment"]]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.join(self.base, on="user_id", how="left")
-            return out[["user_id", "op", "value", "c_mktsegment"]]
-
-    return winners.map_batches(UpsertJoin, batch_format="pandas",
-                               concurrency=2)
+    return winners.map_batches(upsert_join, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -70,59 +70,87 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
             wm_arr[int(i)] = w
 
     def combine(batch: pa.Table) -> pa.Table:
+        from .partition import dict_encode, hash_strings
+
         batch = conform_to_schema(batch, unified_schema)
-        df = batch.to_pandas()
-        if df.empty:
-            df = df.assign(part=np.array([], np.int64),
-                           dup_folded=np.array([], np.int64),
-                           conf_folded=np.array([], np.int64),
-                           max_lsn_folded=np.array([], np.int64))
-            return pa.Table.from_pandas(df, preserve_index=False)
-        df["part"] = partition_ids(df["conv_id"].to_numpy(), num_partitions)
+        n = batch.num_rows
+        if n == 0:
+            return _empty_combined(unified_schema)
+
+        # integer views only — the string payload is touched exactly twice:
+        # one dictionary-encode pass and one final take of the winner rows.
+        # (The memory-bandwidth-frugal shape: sorting/grouping full string
+        # blocks measured ~4x slower under full-node concurrency.)
+        codes, uniq = dict_encode(batch["conv_id"])
+        part_u = (hash_strings(uniq) % np.uint64(num_partitions)).astype(np.int64)
+        part = part_u[codes]
+        lsn = batch["lsn"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
 
         carriers = None
+        orig_idx = np.arange(n)
         if wm_arr is not None and wm_arr.any():
-            replayed = df["lsn"].to_numpy() <= wm_arr[df["part"].to_numpy()]
+            replayed = lsn <= wm_arr[part]
             if replayed.any():
-                skips = df.loc[replayed].groupby("part", sort=False).size()
-                df = df.loc[~replayed]
-                carriers = pd.DataFrame({
-                    "part": skips.index.to_numpy(np.int64),
-                    "op": "_SKIP",
-                    "lsn": np.int64(-1),
-                    "conv_id": "",
-                    "turn_idx": np.int32(-1),
-                    "dup_folded": skips.to_numpy(np.int64),
-                    "conf_folded": np.int64(0),
-                    "max_lsn_folded": np.int64(0),
+                skips = np.bincount(part[replayed], minlength=num_partitions)
+                nz = np.nonzero(skips)[0]
+                carriers = pa.table({
+                    "part": pa.array(nz.astype(np.int64)),
+                    "op": pa.array(np.repeat("_SKIP", len(nz)), pa.string()),
+                    "lsn": pa.array(np.full(len(nz), -1, np.int64)),
+                    "conv_id": pa.array(np.repeat("", len(nz)), pa.string()),
+                    "turn_idx": pa.array(np.full(len(nz), -1, np.int32)),
+                    "dup_folded": pa.array(skips[nz].astype(np.int64)),
+                    "conf_folded": pa.array(np.zeros(len(nz), np.int64)),
+                    "max_lsn_folded": pa.array(np.zeros(len(nz), np.int64)),
                 })
-        if df.empty:
-            return pa.Table.from_pandas(carriers, preserve_index=False) \
-                if carriers is not None else pa.Table.from_pandas(
-                    df.assign(dup_folded=np.array([], np.int64),
-                              conf_folded=np.array([], np.int64),
-                              max_lsn_folded=np.array([], np.int64)),
-                    preserve_index=False)
+                keep = ~replayed
+                orig_idx = orig_idx[keep]
+                codes, part, lsn, ts, turn = (a[keep] for a in
+                                              (codes, part, lsn, ts, turn))
+        if len(orig_idx) == 0:
+            return carriers if carriers is not None \
+                else _empty_combined(unified_schema)
 
-        df = df.sort_values(["ts", "lsn"], kind="stable")
-        # verbatim redelivery dedup within the block (identical lsn)
-        dup_mask = df.duplicated("lsn", keep="first")
-        key = ["part", "conv_id", "turn_idx"]
-        dup_per_key = df.loc[dup_mask].groupby(key, sort=False).size()
-        dd = df[~dup_mask]
-        grp = dd.groupby(key, sort=False)
-        winners = grp.tail(1).copy()
-        sizes = grp.size()
-        max_lsn = grp["lsn"].max()
-        widx = pd.MultiIndex.from_frame(winners[key])
-        winners["dup_folded"] = dup_per_key.reindex(widx, fill_value=0).to_numpy(np.int64)
-        winners["conf_folded"] = (sizes.reindex(widx) - 1).to_numpy(np.int64)
-        winners["max_lsn_folded"] = max_lsn.reindex(widx).to_numpy(np.int64)
+        # one lexsort on ints: rows grouped by key (code, turn), ordered by
+        # (ts, lsn) within each key-run
+        o = np.lexsort((lsn, ts, turn, codes))
+        sc, st, sts, sl = codes[o], turn[o], ts[o], lsn[o]
+        newkey = np.empty(len(o), dtype=bool)
+        newkey[0] = True
+        newkey[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
+        # verbatim redelivery copies are adjacent (identical ts AND lsn)
+        dup = np.zeros(len(o), dtype=bool)
+        dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1])
+        starts = np.flatnonzero(newkey)
+        runlen = np.diff(np.append(starts, len(o)))
+        dups_per_run = np.add.reduceat(dup.astype(np.int64), starts)
+        max_lsn_run = np.maximum.reduceat(sl, starts)
+        winner_pos = starts + runlen - 1  # max (ts, lsn) in the run
+        winner_idx = orig_idx[o[winner_pos]]
+
+        winners = batch.take(pa.array(winner_idx))
+        winners = winners.append_column("part", pa.array(part[o[winner_pos]]))
+        winners = winners.append_column("dup_folded", pa.array(dups_per_run))
+        winners = winners.append_column(
+            "conf_folded", pa.array(runlen - dups_per_run - 1))
+        winners = winners.append_column("max_lsn_folded", pa.array(max_lsn_run))
         if carriers is not None:
-            winners = pd.concat([winners, carriers], ignore_index=True)
-        return pa.Table.from_pandas(winners, preserve_index=False)
+            winners = pa.concat_tables([winners, carriers],
+                                       promote_options="permissive")
+        return winners
 
     return combine
+
+
+def _empty_combined(unified_schema: pa.Schema) -> pa.Table:
+    schema = pa.schema(
+        list(unified_schema)
+        + [pa.field("part", pa.int64()), pa.field("dup_folded", pa.int64()),
+           pa.field("conf_folded", pa.int64()),
+           pa.field("max_lsn_folded", pa.int64())])
+    return schema.empty_table()
 
 
 def make_partition_merger(
@@ -149,69 +177,101 @@ def make_partition_merger(
     cumulative total therefore equals the single-pass oracle's
     ``E_deduped - final_keys_won_by_an_event`` regardless of batching.
     """
+    import pyarrow.compute as pc
+
     from ..schema import stored_schema
 
-    pub_cols = [f.name for f in target_schema if f.name != "lsn"]
     disk_schema = stored_schema(target_schema)
+    delta_schema = disk_schema  # op + payload + lsn, same column set
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        part = int(group["part"].iloc[0])
+    def merge(group: pa.Table) -> pd.DataFrame:
+        from .partition import dict_encode
+
+        part = int(group["part"][0].as_py())
         wm = int(watermarks.get(part, 0))
 
         # replay-skip carriers from the combiner (resume / cross-batch
         # redelivery counts) — the reference's processed-marker dedup
         # (.../NsAuditEventDao.java:97-118 semantics)
-        carrier_mask = group["op"].to_numpy() == "_SKIP"
-        replay_skipped = int(group.loc[carrier_mask, "dup_folded"].sum())
-        group = group.loc[~carrier_mask]
+        op_col = group["op"]
+        carrier_mask = pc.equal(op_col, "_SKIP")
+        replay_skipped = int(pc.sum(pc.filter(group["dup_folded"], carrier_mask)
+                                    ).as_py() or 0)
+        group = group.filter(pc.invert(carrier_mask))
         # safety net (combiner already filters replays)
-        replay_mask = group["lsn"].to_numpy() <= wm
-        replay_skipped += int(replay_mask.sum())
-        group = group.loc[~replay_mask]
+        replay = pc.less_equal(group["lsn"], wm)
+        if pc.any(replay).as_py():
+            replay_skipped += int(pc.sum(pc.cast(replay, pa.int64())).as_py())
+            group = group.filter(pc.invert(replay))
 
-        dedup = int(group["dup_folded"].sum())
-        conflict = int(group["conf_folded"].sum())
-        new_wm = int(max(wm, group["max_lsn_folded"].max())) if len(group) else wm
-
-        # merge-level verbatim-redelivery dedup (copies that landed in
-        # different blocks): identical lsn -> keep first
-        group = group.sort_values(["ts", "lsn"], kind="stable")
-        mdup = group.duplicated("lsn", keep="first")
-        dedup += int(mdup.sum())
-        group = group.loc[~mdup]
-        n_events = len(group)
+        dedup = int(pc.sum(group["dup_folded"]).as_py() or 0)
+        conflict = int(pc.sum(group["conf_folded"]).as_py() or 0)
+        new_wm = int(max(wm, pc.max(group["max_lsn_folded"]).as_py() or 0)) \
+            if group.num_rows else wm
 
         base_rel = base_files.get(part)
         if base_rel:
             base = pq.read_table(os.path.join(table_dir, base_rel))
-            base = conform_to_schema(base, disk_schema).to_pandas()
-            if base["op"].isna().all():  # v0 snapshot files predate the op column
-                base["op"] = "B"
+            base = conform_to_schema(base, disk_schema)
+            if base["op"].null_count == base.num_rows:
+                # v0 snapshot files predate the op column
+                base = base.set_column(
+                    base.schema.get_field_index("op"), "op",
+                    pa.array(np.repeat("B", base.num_rows), pa.string()))
         else:
-            base = conform_to_schema(disk_schema.empty_table(), disk_schema).to_pandas()
-        base["_stored"] = True
+            base = disk_schema.empty_table()
 
-        # null back-fill: payload columns absent from this batch's change
-        # schema (e.g. `tool` before the v2 segments arrive)
-        for c in pub_cols:
-            if c not in group.columns:
-                group = group.assign(**{c: None})
-        ev = group[["op", *pub_cols, "lsn"]].assign(_stored=False) if n_events else None
-        allrows = pd.concat([base, ev], ignore_index=True) if ev is not None else base
-        allrows = allrows.sort_values(["ts", "lsn"], kind="stable")
-        winners = allrows.groupby(KEY_COLS, sort=False).tail(1)
-        event_winners = int((~winners["_stored"]).sum())
-        conflict += n_events - event_winners
-        # committed rows that originated from an event (lsn > 0) and were
-        # superseded in THIS batch — counted now so totals compose (see above)
-        stored_ev = base["lsn"].to_numpy() > 0
-        stored_ev_winners = int((winners["_stored"] & (winners["lsn"] > 0)).sum())
-        conflict += int(stored_ev.sum()) - stored_ev_winners
+        delta = conform_to_schema(group, delta_schema)
+        allrows = pa.concat_tables([base, delta])
+        nb, nd = base.num_rows, delta.num_rows
 
-        winners = winners.drop(columns=["_stored"]).sort_values(KEY_COLS, kind="stable")
-        out = conform_to_schema(
-            pa.Table.from_pandas(winners, preserve_index=False), disk_schema)
-        live_rows = int((winners["op"] != "D").sum())
+        if allrows.num_rows == 0:
+            out, live_rows, event_winners = disk_schema.empty_table(), 0, 0
+        else:
+            # integer-run reduction (same shape as the combiner): sort ints,
+            # find key runs, take winner rows once
+            codes, uniq = dict_encode(allrows["conv_id"])
+            turn = allrows["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = allrows["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+            lsn = allrows["lsn"].to_numpy(zero_copy_only=False)
+            stored = np.arange(allrows.num_rows) < nb
+
+            o = np.lexsort((lsn, ts, turn, codes))
+            sc, st, sl = codes[o], turn[o], lsn[o]
+            newkey = np.empty(len(o), dtype=bool)
+            newkey[0] = True
+            newkey[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
+            # merge-level verbatim-redelivery dedup: identical (ts, lsn)
+            # copies that landed in different combine chunks are adjacent
+            dup = np.zeros(len(o), dtype=bool)
+            dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1]) & (~stored[o][1:])
+            starts = np.flatnonzero(newkey)
+            runlen = np.diff(np.append(starts, len(o)))
+            dups_per_run = np.add.reduceat(dup.astype(np.int64), starts)
+            mdups = int(dups_per_run.sum())
+            dedup += mdups
+            n_events = nd - mdups
+
+            winner_pos = starts + runlen - 1
+            winner_o = o[winner_pos]
+            w_stored = stored[winner_o]
+            event_winners = int((~w_stored).sum())
+            conflict += n_events - event_winners
+            # committed rows that originated from an event (lsn > 0) and
+            # were superseded in THIS batch — counted now so cumulative
+            # totals compose across batching (see module docstring)
+            stored_ev_total = int((lsn[:nb] > 0).sum())
+            stored_ev_winners = int((w_stored & (lsn[winner_o] > 0)).sum())
+            conflict += stored_ev_total - stored_ev_winners
+
+            # final order: (conv_id, turn_idx) — rank the small dictionary,
+            # not the full string column
+            rank_u = np.empty(len(uniq), dtype=np.int64)
+            rank_u[np.argsort(np.asarray(uniq))] = np.arange(len(uniq))
+            final = winner_o[np.lexsort((turn[winner_o], rank_u[codes[winner_o]]))]
+            out = allrows.take(pa.array(final))
+            live_rows = int(pc.sum(pc.cast(pc.not_equal(out["op"], "D"),
+                                           pa.int64())).as_py() or 0)
 
         rel = f"p={part}/v{version}.parquet"
         final_path = os.path.join(table_dir, rel)
@@ -226,6 +286,70 @@ def make_partition_merger(
         )
 
     return merge
+
+
+# --------------------------------------------------------------------------
+# direct two-stage shuffle (raw Ray tasks)
+#
+# Why not groupby("part").map_groups: Ray Data's sort-based shuffle costs
+# ~10x the merge compute at this shape (measured: 0.16s of real merge work
+# per partition vs 2.9s mean task wall through the sort path) because the
+# generic sort must sample, range-partition and reassemble chunked blocks.
+# Our shuffle is degenerate-simple: a FIXED partition count P and an exact
+# int key. So we express it directly: combine tasks return P per-partition
+# slices (``num_returns=P`` — a merge task fetches ONLY its slice, never the
+# whole map output), merge tasks reduce one partition each. This is the one
+# place the engine drops below the Dataset API, as SURVEY §2/§7 anticipates.
+#
+# Partitioning assumption: part = hash(conv_id) % P with P fixed in the
+# manifest; all rows of a conversation land in one partition.
+
+
+def combine_and_split(paths: list[str], unified_schema: pa.Schema,
+                      num_partitions: int, watermarks: dict[int, int],
+                      group_size: int = 8):
+    """Stage-1 task body: read WAL files -> block LWW combine -> split the
+    winner rows into ceil(P / group_size) partition-GROUP slices.
+
+    Grouping matters: emitting one object per partition (P objects per task)
+    makes object-store puts the bottleneck at high concurrency (measured:
+    64 returns/task tripled stage wall at 32 CPUs). A merge task fetches its
+    group's slice — shared zero-copy with the other G-1 merge tasks on the
+    same node — and filters out its partition.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    combine = make_combiner(unified_schema, num_partitions, watermarks)
+    tables = [conform_to_schema(pq.read_table(p), unified_schema)
+              for p in paths]
+    winners = combine(pa.concat_tables(tables))
+    n_groups = -(-num_partitions // group_size)
+    if winners.num_rows == 0:
+        return None if n_groups == 1 else tuple([None] * n_groups)
+    groups = pc.divide(winners["part"], group_size)
+    out: list = [None] * n_groups
+    for g in pc.unique(groups).to_pylist():
+        out[int(g)] = winners.filter(pc.equal(groups, g))
+    return out[0] if n_groups == 1 else tuple(out)
+
+
+def merge_partition_slices(part: int, merger, *slices) -> pd.DataFrame:
+    """Stage-2 task body: reduce one partition's rows (filtered out of its
+    group slices) with the standard partition merger. Slices arrive as
+    varargs so Ray resolves each ObjectRef before the task runs."""
+    import pyarrow.compute as pc
+
+    tables = []
+    for t in slices:
+        if t is None or t.num_rows == 0:
+            continue
+        mine = t.filter(pc.equal(t["part"], part))
+        if mine.num_rows:
+            tables.append(mine)
+    if not tables:
+        return pd.DataFrame(columns=STATS_COLUMNS)
+    return merger(pa.concat_tables(tables, promote_options="permissive"))
 
 
 def make_snapshot_writer(table_dir: str, version: int, target_schema: pa.Schema):

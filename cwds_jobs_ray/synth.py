@@ -57,9 +57,16 @@ class WalSpec:
     text_words: int = 12             # words per text payload
 
 
-def _texts(rng: np.random.Generator, n: int, words: int) -> np.ndarray:
-    idx = rng.integers(0, len(_WORDS), size=(n, words))
-    return np.array([" ".join(_WORDS[r]) for r in idx], dtype=object)
+def _texts(rng: np.random.Generator, n: int, words: int) -> pa.Array:
+    """n random texts of `words` words — fully vectorized via Arrow
+    (dictionary decode + list binary_join), no Python string loop."""
+    import pyarrow.compute as pc
+
+    idx = rng.integers(0, len(_WORDS), size=n * words).astype(np.int32)
+    flat = pa.DictionaryArray.from_arrays(
+        pa.array(idx), pa.array(_WORDS.tolist(), pa.string())).cast(pa.string())
+    offsets = pa.array(np.arange(0, (n + 1) * words, words, dtype=np.int32))
+    return pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
 
 
 def make_base(spec: WalSpec) -> pa.Table:
@@ -68,24 +75,32 @@ def make_base(spec: WalSpec) -> pa.Table:
     n = spec.n_convs * spec.turns_per_conv
     if n == 0:
         return TRANSCRIPT_SCHEMA.empty_table()
-    conv = np.repeat(np.array([f"c{i:06d}" for i in range(spec.n_convs)], dtype=object),
-                     spec.turns_per_conv)
+    conv = _conv_names(np.repeat(np.arange(spec.n_convs, dtype=np.int32),
+                                 spec.turns_per_conv), spec.n_convs)
     turn = np.tile(np.arange(spec.turns_per_conv, dtype=np.int32), spec.n_convs)
     role = ROLES[(turn % len(ROLES))]
     tool = np.where(role == "tool", TOOLS[rng.integers(0, len(TOOLS), n)], None)
     ts = EPOCH_US + (np.arange(n, dtype=np.int64) * 1_000_000)
     return pa.Table.from_arrays(
         [
-            pa.array(conv, pa.string()),
+            conv,
             pa.array(turn, pa.int32()),
             pa.array(role, pa.string()),
-            pa.array(_texts(rng, n, spec.text_words), pa.string()),
+            _texts(rng, n, spec.text_words).cast(pa.string()),
             pa.array(tool, pa.string()),
             pa.array(ts, pa.timestamp("us")),
             pa.array(np.zeros(n, dtype=np.int64), pa.int64()),  # base lsn = 0
         ],
         schema=TRANSCRIPT_SCHEMA,
     )
+
+
+def _conv_names(conv_ids: np.ndarray, n_convs: int) -> pa.Array:
+    """conv_id ints -> 'c%06d' strings via Arrow dictionary decode (no
+    per-row Python formatting)."""
+    names = pa.array([f"c{i:06d}" for i in range(n_convs)], pa.string())
+    return pa.DictionaryArray.from_arrays(
+        pa.array(conv_ids.astype(np.int32)), names).cast(pa.string())
 
 
 def make_wal(spec: WalSpec) -> pa.Table:
@@ -103,7 +118,7 @@ def make_wal(spec: WalSpec) -> pa.Table:
     if spec.hot_key_frac > 0:
         hot = rng.random(n) < spec.hot_key_frac
         conv_ids[hot] = 0  # c000000 is the viral conversation
-    conv = np.array([f"c{i:06d}" for i in conv_ids], dtype=object)
+    conv = _conv_names(conv_ids, spec.n_convs)
 
     # I targets new turn indices beyond the base; U/D target existing ones.
     new_turn = rng.integers(spec.turns_per_conv, spec.turns_per_conv + 6, size=n)
@@ -115,6 +130,8 @@ def make_wal(spec: WalSpec) -> pa.Table:
     ooo = rng.random(n) < spec.out_of_order_frac
     ts = base_ts - ooo * rng.integers(1, 10**9, size=n)
 
+    import pyarrow.compute as pc
+
     role = ROLES[rng.integers(0, len(ROLES), n)]
     text = _texts(rng, n, spec.text_words)
     tool = np.where(rng.random(n) < 0.3, TOOLS[rng.integers(0, len(TOOLS), n)], None)
@@ -123,7 +140,7 @@ def make_wal(spec: WalSpec) -> pa.Table:
     # /root/reference/jobs-common/.../elastic/ElasticWriter.java:77-79)
     is_d = ops == "D"
     role = np.where(is_d, None, role)
-    text = np.where(is_d, None, text)
+    text = pc.if_else(pa.array(is_d), pa.scalar(None, pa.string()), text)
     tool = np.where(is_d, None, tool)
 
     lsn = np.arange(1, n + 1, dtype=np.int64)
@@ -131,10 +148,10 @@ def make_wal(spec: WalSpec) -> pa.Table:
         [
             pa.array(lsn, pa.int64()),
             pa.array(ops, pa.string()),
-            pa.array(conv, pa.string()),
+            conv,
             pa.array(turn, pa.int32()),
             pa.array(role, pa.string()),
-            pa.array(text, pa.string()),
+            text.cast(pa.string()),
             pa.array(tool, pa.string()),
             pa.array(ts, pa.timestamp("us")),
         ],
