@@ -1,0 +1,105 @@
+"""CLI entrypoint — the descendant of the reference's job runners
+(`CwsFacilityJobRunner.main` + JobOptions parsing,
+/root/reference/jobs-facilities-cws/src/main/java/gov/ca/cwds/jobs/cals/facility/cws/CwsFacilityJobRunner.java:10-14,
+/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/configuration/JobOptions.java:132-165).
+
+Run locally or via `ray job submit -- python -m cwds_jobs_ray.cli run ...`.
+Each scheduled invocation resolves its mode from the manifest and drains the
+WAL, exactly like the reference's cron-driven batch jobs (README.md:3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cwds-jobs-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="resolve job mode and drain the WAL")
+    run.add_argument("--table-dir", required=True)
+    run.add_argument("--wal-dir", required=True)
+    run.add_argument("--base", default=None,
+                     help="base snapshot parquet (initial load only)")
+    run.add_argument("--partitions", type=int, default=16)
+    run.add_argument("--events-per-batch", type=int, default=500_000)
+
+    st = sub.add_parser("status", help="print the committed manifest")
+    st.add_argument("--table-dir", required=True)
+
+    cp = sub.add_parser("compact", help="drop tombstones older than a horizon")
+    cp.add_argument("--table-dir", required=True)
+    cp.add_argument("--wal-dir", required=True)
+    cp.add_argument("--tombstone-horizon-lsn", type=int, required=True)
+
+    sy = sub.add_parser("synth", help="generate a deterministic workload")
+    sy.add_argument("--out", required=True)
+    sy.add_argument("--events", type=int, default=10_000)
+    sy.add_argument("--convs", type=int, default=100)
+    sy.add_argument("--segments", type=int, default=8)
+    sy.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":  # no Ray needed
+        from .synth import WalSpec, synthesize
+
+        spec = WalSpec(seed=args.seed, n_convs=args.convs,
+                       n_events=args.events, n_segments=args.segments)
+        out = synthesize(spec, args.out)
+        print(json.dumps({"base": out["base_path"],
+                          "segments": len(out["segments"])}))
+        return 0
+
+    if args.cmd == "status":
+        from .state.manifest import Manifest
+
+        m = Manifest.load(args.table_dir)
+        if m is None:
+            print(json.dumps({"job_mode": "INITIAL_LOAD", "manifest": None}))
+            return 0
+        print(json.dumps({
+            "job_mode": m.job_mode,
+            "table_version": m.table_version,
+            "schema_version": m.schema_version,
+            "applied_through_lsn": m.applied_through_lsn,
+            "rows": m.total("rows_applied"),
+            "dedup": m.total("dedup_count"),
+            "conflicts": m.total("conflict_count"),
+            "replay_skipped": m.total("replay_skipped"),
+        }))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():  # driver contract: never re-init
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from .pipelines.cdc import CDCJob
+
+    if args.cmd == "run":
+        job = CDCJob(args.table_dir, args.wal_dir,
+                     num_partitions=args.partitions,
+                     events_per_batch=args.events_per_batch)
+        m = job.run(base_path=args.base)
+        print(json.dumps({"job_mode": m.job_mode,
+                          "table_version": m.table_version,
+                          "applied_through_lsn": m.applied_through_lsn,
+                          "rows": m.total("rows_applied")}))
+        return 0
+
+    if args.cmd == "compact":
+        job = CDCJob(args.table_dir, args.wal_dir)
+        m = job.compact(args.tombstone_horizon_lsn)
+        print(json.dumps({"table_version": m.table_version,
+                          "rows": m.total("rows_applied")}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

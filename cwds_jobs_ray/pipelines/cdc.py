@@ -62,6 +62,7 @@ class CDCJob:
         events_per_batch: int = 500_000,
         combine_batch_size: int = 65_536,
         slice_group_size: int = 8,
+        merge_policy: str = "lww",
     ):
         self.table_dir = table_dir
         self.wal_dir = wal_dir
@@ -69,6 +70,7 @@ class CDCJob:
         self.events_per_batch = events_per_batch
         self.combine_batch_size = combine_batch_size
         self.slice_group_size = slice_group_size
+        self.merge_policy = merge_policy
 
     # ------------------------------------------------------------------ run
     def run(
@@ -201,13 +203,15 @@ class CDCJob:
         combine_task = ray.remote(num_returns=n_groups)(combine_and_split)
         merge_task = ray.remote(merge_partition_slices)
         slice_refs = [
-            combine_task.remote(paths, change_schema, P, watermarks, G)
+            combine_task.remote(paths, change_schema, P, watermarks, G,
+                                self.merge_policy)
             for paths in chunks
         ]
         if n_groups == 1:  # num_returns=1 returns a bare ref, normalize
             slice_refs = [[r] for r in slice_refs]
         merger = make_partition_merger(self.table_dir, version, target,
-                                       watermarks, base_files)
+                                       watermarks, base_files,
+                                       policy=self.merge_policy)
         stats_refs = [
             merge_task.remote(p, merger, *[refs[p // G] for refs in slice_refs])
             for p in range(P)
@@ -241,6 +245,63 @@ class CDCJob:
             on_before_commit(new_m)
         new_m.commit(self.table_dir)
         logger.info("committed v%d: %d partitions touched", version, len(touched))
+        return new_m
+
+    # ----------------------------------------------------------- compaction
+    def compact(self, tombstone_horizon_lsn: int) -> Manifest:
+        """Drop tombstones with lsn <= horizon from every partition.
+
+        Tombstones are persisted so late out-of-order events lose LWW against
+        deletes (see stages/merge.py). Once the WAL's disorder horizon has
+        passed an LSN, its tombstones can never matter again and are
+        compacted away. New immutable version files + one manifest swap, so
+        compaction has the same exactly-once guarantees as a batch apply.
+        """
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq_
+
+        manifest = Manifest.load(self.table_dir)
+        if manifest is None:
+            raise RuntimeError("nothing to compact: no manifest")
+        version = manifest.table_version + 1
+
+        def compact_one(part: int, rel: str, table_dir: str) -> tuple[int, str, int]:
+            import os as _os
+            import uuid as _uuid
+            t = pq_.read_table(_os.path.join(table_dir, rel))
+            if "op" in t.column_names:
+                drop = pc.and_(pc.equal(t["op"], "D"),
+                               pc.less_equal(t["lsn"], tombstone_horizon_lsn))
+                t = t.filter(pc.invert(drop))
+            new_rel = f"p={part}/v{version}.parquet"
+            path = _os.path.join(table_dir, new_rel)
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp-{_uuid.uuid4().hex}"
+            pq_.write_table(t, tmp)
+            _os.replace(tmp, path)
+            live = t.num_rows if "op" not in t.column_names else \
+                t.filter(pc.not_equal(t["op"], "D")).num_rows
+            return part, new_rel, live
+
+        task = ray.remote(compact_one)
+        refs = [task.remote(i, manifest.part(i).file, self.table_dir)
+                for i in range(self.num_partitions)
+                if manifest.part(i).file]
+        new_m = Manifest(
+            job_mode=manifest.job_mode,
+            table_version=version,
+            schema_version=manifest.schema_version,
+            num_partitions=manifest.num_partitions,
+            base_path=manifest.base_path,
+            applied_through_lsn=manifest.applied_through_lsn,
+            partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
+        )
+        for part, rel, live in ray.get(refs):
+            p = new_m.part(part)
+            p.file = rel
+            p.rows_applied = live
+        new_m.commit(self.table_dir)
+        new_m.gc_uncommitted(self.table_dir)
         return new_m
 
     # -------------------------------------------------------------- reading

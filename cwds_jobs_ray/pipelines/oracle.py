@@ -40,8 +40,13 @@ class OracleResult:
     per_partition: pd.DataFrame | None = None  # indexed by partition id
 
 
-def replay(base: pa.Table, wal: pa.Table, num_partitions: int | None = None) -> OracleResult:
-    """Pure pandas/pyarrow replay of ``wal`` over ``base``."""
+def replay(base: pa.Table, wal: pa.Table, num_partitions: int | None = None,
+           policy: str = "lww") -> OracleResult:
+    """Pure pandas/pyarrow replay of ``wal`` over ``base``.
+
+    ``policy``: "lww" (max (ts, lsn) wins — reference semantics) or
+    "fww" (min wins), matching stages/merge.py MERGE_POLICIES.
+    """
     base_df = conform_to_schema(base, TRANSCRIPT_SCHEMA).to_pandas()
     base_df["op"] = "B"
     ev = conform_to_schema(wal, pa.schema([f for f in TRANSCRIPT_SCHEMA] )
@@ -58,7 +63,8 @@ def replay(base: pa.Table, wal: pa.Table, num_partitions: int | None = None) -> 
         allrows = base_df
 
     allrows = allrows.sort_values(["ts", "lsn"], kind="stable")
-    winners = allrows.groupby(["conv_id", "turn_idx"], sort=False).tail(1)
+    grp = allrows.groupby(["conv_id", "turn_idx"], sort=False)
+    winners = grp.tail(1) if policy == "lww" else grp.head(1)
 
     n_events = 0 if ev is None else len(ev)
     event_winners = int((winners["op"] != "B").sum())

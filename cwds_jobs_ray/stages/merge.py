@@ -48,9 +48,25 @@ STATS_COLUMNS = [
     "replay_skipped", "lsn_watermark", "file",
 ]
 
+# Pluggable conflict-resolution policy (the reference's extension surface:
+# its sink SPI decides how a redelivered doc overwrites, SURVEY.md §2.10).
+# "lww": max (ts, lsn) wins (default — the reference's semantics).
+# "fww": min (ts, lsn) wins (first writer; e.g. immutable-once ingest).
+MERGE_POLICIES = ("lww", "fww")
+
+
+def _winner_positions(starts: np.ndarray, runlen: np.ndarray,
+                      policy: str) -> np.ndarray:
+    if policy == "lww":
+        return starts + runlen - 1
+    if policy == "fww":
+        return starts
+    raise ValueError(f"unknown merge policy {policy!r}")
+
 
 def make_combiner(unified_schema: pa.Schema, num_partitions: int,
-                  watermarks: dict[int, int] | None = None):
+                  watermarks: dict[int, int] | None = None,
+                  policy: str = "lww"):
     """Returns a vectorized per-block combiner for ``map_batches``.
 
     Arrow in / pandas LWW / Arrow out. ``unified_schema`` is the batch-wide
@@ -127,7 +143,7 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
         runlen = np.diff(np.append(starts, len(o)))
         dups_per_run = np.add.reduceat(dup.astype(np.int64), starts)
         max_lsn_run = np.maximum.reduceat(sl, starts)
-        winner_pos = starts + runlen - 1  # max (ts, lsn) in the run
+        winner_pos = _winner_positions(starts, runlen, policy)
         winner_idx = orig_idx[o[winner_pos]]
 
         winners = batch.take(pa.array(winner_idx))
@@ -159,6 +175,7 @@ def make_partition_merger(
     target_schema: pa.Schema,
     watermarks: dict[int, int],
     base_files: dict[int, str | None],
+    policy: str = "lww",
 ):
     """Returns the per-partition merge fn for ``groupby("part").map_groups``.
 
@@ -252,7 +269,7 @@ def make_partition_merger(
             dedup += mdups
             n_events = nd - mdups
 
-            winner_pos = starts + runlen - 1
+            winner_pos = _winner_positions(starts, runlen, policy)
             winner_o = o[winner_pos]
             w_stored = stored[winner_o]
             event_winners = int((~w_stored).sum())
@@ -307,7 +324,7 @@ def make_partition_merger(
 
 def combine_and_split(paths: list[str], unified_schema: pa.Schema,
                       num_partitions: int, watermarks: dict[int, int],
-                      group_size: int = 8):
+                      group_size: int = 8, policy: str = "lww"):
     """Stage-1 task body: read WAL files -> block LWW combine -> split the
     winner rows into ceil(P / group_size) partition-GROUP slices.
 
@@ -320,7 +337,7 @@ def combine_and_split(paths: list[str], unified_schema: pa.Schema,
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    combine = make_combiner(unified_schema, num_partitions, watermarks)
+    combine = make_combiner(unified_schema, num_partitions, watermarks, policy)
     tables = [conform_to_schema(pq.read_table(p), unified_schema)
               for p in paths]
     winners = combine(pa.concat_tables(tables))

@@ -198,6 +198,40 @@ def test_update_payload_replaces_row_wholesale(workdir):
     assert got["tool"] == ["python"]
 
 
+def test_fww_merge_policy(workdir):
+    # pluggable conflict resolution (extension surface §2.10): first writer
+    # wins — verified against the policy-parameterized oracle at multiple
+    # batch sizes (composability across batches)
+    spec = WalSpec(seed=17, n_convs=12, turns_per_conv=3, n_events=150,
+                   n_segments=3, out_of_order_frac=0.3, dup_redelivery_frac=0.1)
+    for epb in (10**9, 50):
+        sub = os.path.join(workdir, f"epb{epb}")
+        d = synthesize(spec, sub)
+        job = CDCJob(os.path.join(sub, "table"), os.path.join(sub, "wal"),
+                     num_partitions=4, events_per_batch=epb,
+                     merge_policy="fww")
+        job.run(base_path=d["base_path"])
+        o = replay(d["base"], d["wal"], 4, policy="fww")
+        got = job.read_table_arrow()
+        assert got.select(o.final.column_names).equals(o.final)
+
+
+def test_per_partition_golden_counters(workdir):
+    # golden per-partition assertions (reference style: exact savepoints,
+    # JobMainTest.java:69-93) — rows per partition match the oracle's
+    # partition function
+    spec = WalSpec(seed=18, n_convs=20, turns_per_conv=4, n_events=300,
+                   n_segments=4)
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=8, events_per_batch=10**9)
+    m = job.run(base_path=d["base_path"])
+    o = replay(d["base"], d["wal"], num_partitions=8)
+    for i in range(8):
+        assert m.part(i).rows_applied == int(o.per_partition["rows_applied"][i])
+        assert m.part(i).lsn_watermark <= m.applied_through_lsn
+
+
 def test_lww_tiebreak_on_lsn_at_equal_ts(workdir):
     # two updates with identical ts: higher lsn wins (reference total order
     # is (timestamp, id): QueryConstants.java:72-73)

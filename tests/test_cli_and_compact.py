@@ -1,0 +1,74 @@
+"""CLI driver + tombstone compaction tests."""
+
+import json
+import os
+
+from cwds_jobs_ray.cli import main as cli_main
+from cwds_jobs_ray.pipelines.cdc import CDCJob
+from cwds_jobs_ray.pipelines.oracle import replay
+from cwds_jobs_ray.synth import WalSpec, synthesize
+
+
+def test_cli_lifecycle(workdir, capsys):
+    spec = WalSpec(seed=31, n_convs=10, turns_per_conv=3, n_events=60,
+                   n_segments=3, frac_delete=0.3)
+    d = synthesize(spec, workdir)
+    table = os.path.join(workdir, "table")
+    wal = os.path.join(workdir, "wal")
+
+    assert cli_main(["status", "--table-dir", table]) == 0
+    assert json.loads(capsys.readouterr().out)["job_mode"] == "INITIAL_LOAD"
+
+    assert cli_main(["run", "--table-dir", table, "--wal-dir", wal,
+                     "--base", d["base_path"], "--partitions", "4"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["job_mode"] == "INCREMENTAL_LOAD"
+    assert out["applied_through_lsn"] == 60
+
+    assert cli_main(["status", "--table-dir", table]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["rows"] == out["rows"]
+
+
+def test_cli_synth(workdir, capsys):
+    out_dir = os.path.join(workdir, "synth")
+    assert cli_main(["synth", "--out", out_dir, "--events", "100",
+                     "--convs", "5", "--segments", "2"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["segments"] == 2
+    assert os.path.exists(info["base"])
+
+
+def test_compaction_drops_old_tombstones_only(workdir):
+    spec = WalSpec(seed=32, n_convs=10, turns_per_conv=4, n_events=200,
+                   n_segments=2, frac_delete=0.4)
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9)
+    m = job.run(base_path=d["base_path"])
+    o = replay(d["base"], d["wal"], 4)
+
+    import pyarrow.parquet as pq
+
+    import pyarrow.compute as pc
+    def tomb_count(manifest):
+        n = 0
+        for i in range(4):
+            rel = manifest.part(i).file
+            if not rel:
+                continue
+            t = pq.read_table(os.path.join(workdir, "table", rel))
+            n += t.filter(pc.equal(t["op"], "D")).num_rows
+        return n
+
+    assert tomb_count(m) > 0
+    # compact below half the lsn range: only old tombstones dropped
+    m2 = job.compact(100)
+    assert m2.table_version == m.table_version + 1
+    # live table unchanged by compaction
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    # full-horizon compaction removes all tombstones
+    m3 = job.compact(10**9)
+    assert tomb_count(m3) == 0
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
