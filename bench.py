@@ -95,7 +95,7 @@ def run_bench() -> dict:
 
     # best-of-N timed reps: the sandbox shows heavy wall-clock noise from
     # neighboring load; min is the faithful estimate of pipeline cost
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     t_initial, t_apply, manifest = None, None, None
     for rep in range(reps):
         table_dir = f"{work}/table_cpus{NUM_CPUS}_r{rep}"

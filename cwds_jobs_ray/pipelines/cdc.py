@@ -116,6 +116,7 @@ class CDCJob:
         if base_path is not None:
             ds = ray.data.read_parquet(base_path)
             target = _target_schema(ds.schema().base_schema)
+            manifest.table_columns = [f.name for f in target]
             ds = ds.map_batches(
                 lambda t: add_partition_column(
                     _with_lineage(t, target), self.num_partitions),
@@ -156,9 +157,21 @@ class CDCJob:
         segments = list_segments(self.wal_dir)
         batches = plan_batches(segments, manifest.applied_through_lsn,
                                self.events_per_batch)
-        for batch in batches:
+        total_rows = sum(s.rows for b in batches for s in b)
+        done_rows = 0
+        import time as _time
+        t0 = _time.perf_counter()
+        for i, batch in enumerate(batches):
             manifest = self.apply_batch(batch, manifest,
                                         on_before_commit=on_before_commit)
+            # progress / ETA (reference A5: TimeLeftEstimationProvider.java)
+            done_rows += sum(s.rows for s in batch)
+            el = _time.perf_counter() - t0
+            rate = done_rows / el if el > 0 else 0.0
+            logger.info(
+                "batch %d/%d: %d/%d events, %.0f events/s, est %.1fs left",
+                i + 1, len(batches), done_rows, total_rows, rate,
+                (total_rows - done_rows) / rate if rate else 0.0)
         # finalize: next run is incremental (reference initial-mode finalizer,
         # .../CwsInitialJobModeFinalizer.java:34-45)
         if manifest.job_mode != INCREMENTAL_LOAD:
@@ -218,13 +231,16 @@ class CDCJob:
         ]
         stats_df = pd.concat(ray.get(stats_refs), ignore_index=True)
 
+        target_cols = [f.name for f in target]
+        prev_cols = manifest.table_columns or [f.name for f in TRANSCRIPT_SCHEMA]
         new_m = Manifest(
             job_mode=manifest.job_mode,
             table_version=version,
             schema_version=manifest.schema_version
-            + (0 if _schema_equal_to_base(target) else 1),
+            + (0 if target_cols == prev_cols else 1),
             num_partitions=manifest.num_partitions,
             base_path=manifest.base_path,
+            table_columns=target_cols,
             applied_through_lsn=max(manifest.applied_through_lsn,
                                     max(s.max_lsn for s in batch)),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
@@ -293,6 +309,7 @@ class CDCJob:
             schema_version=manifest.schema_version,
             num_partitions=manifest.num_partitions,
             base_path=manifest.base_path,
+            table_columns=manifest.table_columns,
             applied_through_lsn=manifest.applied_through_lsn,
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
@@ -364,5 +381,4 @@ def _evolve_schema(manifest: Manifest, change_schema: pa.Schema) -> pa.Schema:
     return pa.schema([uni.field(n) for n in names])
 
 
-def _schema_equal_to_base(target: pa.Schema) -> bool:
-    return tuple(f.name for f in target) == tuple(f.name for f in TRANSCRIPT_SCHEMA)
+

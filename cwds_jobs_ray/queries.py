@@ -532,6 +532,25 @@ def embedding_neardup_pairs(sf_dir: str):
     return cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
 
 
+def paged_source_demo(sf_dir: str):
+    """S7: token-paginated source drained into a Dataset — pages the
+    customer table 500 rows at a time through the pagination protocol
+    (rows-only check; the page walk is driver-side by nature)."""
+    import pyarrow.parquet as pq
+    from .sources.paged import read_paged
+
+    full = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+
+    def page_fn(token):
+        off = int(token) if token else 0
+        page = full.slice(off, 500)
+        nxt = str(off + 500) if off + 500 < full.num_rows else None
+        return page, nxt
+
+    return read_paged(page_fn)
+
+
 def multimodal_features(sf_dir: str):
     """Multimodal plumbing demo: opaque binary payloads -> actor-pool
     decode/feature stage (decode kernel stubbed; see functions/multimodal.py).
@@ -586,6 +605,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "multimodal_features": multimodal_features,
+    "paged_source_demo": paged_source_demo,
 }
 
 
@@ -756,6 +776,7 @@ ORACLE_SQL.update({
               FROM s)
         SELECT qid AS query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
     """,
+    "paged_source_demo": "SELECT c_custkey, c_name FROM customer",
     "embedding_neardup_pairs": f"""
         WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                           LIST_COSINE_SIMILARITY(

@@ -56,6 +56,9 @@ class Manifest:
     # carries `indexName` back for resume the same way
     # (.../inject/ElasticSearchModule.java:38-51)
     base_path: str | None = None
+    # committed lake-table columns; schema_version bumps when these change
+    # (evolution by unification + null backfill)
+    table_columns: list[str] = field(default_factory=list)
     partitions: dict[str, PartitionState] = field(default_factory=dict)
 
     FILENAME = "manifest.json"
