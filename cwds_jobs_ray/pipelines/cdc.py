@@ -8,8 +8,9 @@ Lifecycle per run:
   INITIAL_LOAD / INITIAL_RESUME: hash-partition the base snapshot into v0
     partition files, commit manifest (idempotent redo on resume) ->
   INCREMENTAL: plan LSN batches from WAL footer metadata ->
-  per batch: read_parquet(segments) -> map_batches(combiner) ->
-    groupby(part).map_groups(partition merge) -> collect P stats rows ->
+  per batch: combine tasks (read segments -> block LWW -> grouped
+    per-partition slices) -> merge tasks (one per partition; partition-local
+    base read) -> collect P stats rows ->
     advance manifest (atomic swap)  [the savepoint advance of
     BatchProcessor.handleBatchSavepoint — data files first, manifest last]
 
@@ -36,10 +37,10 @@ from ..stages.merge import (
     combine_and_split,
     make_combiner,
     make_partition_merger,
-    make_snapshot_writer,
     merge_partition_slices,
+    snapshot_split,
+    snapshot_write_partition,
 )
-from ..stages.partition import add_partition_column
 from ..state.manifest import (
     INCREMENTAL_LOAD,
     INITIAL_LOAD,
@@ -114,19 +115,33 @@ class CDCJob:
         manifest.commit(self.table_dir)  # records that an initial load started
 
         if base_path is not None:
-            ds = ray.data.read_parquet(base_path)
-            target = _target_schema(ds.schema().base_schema)
-            manifest.table_columns = [f.name for f in target]
-            ds = ds.map_batches(
-                lambda t: add_partition_column(
-                    _with_lineage(t, target), self.num_partitions),
-                batch_format="pyarrow", batch_size=self.combine_batch_size)
-            stats = (
-                ds.groupby("part")
-                .map_groups(make_snapshot_writer(self.table_dir, 0, target),
-                            batch_format="pandas")
-            )
-            stats_df = stats.to_pandas()
+            import pyarrow.parquet as pq_
+
+            f = pq_.ParquetFile(base_path)
+            target = _target_schema(f.schema_arrow)
+            manifest.table_columns = [f_.name for f_ in target]
+            n_rg = f.metadata.num_row_groups
+
+            # direct shuffle, same shape as apply_batch: row-group-ranged
+            # read/split tasks -> grouped slices -> one writer per partition
+            P, G = self.num_partitions, self.slice_group_size
+            n_groups = -(-P // G)
+            rows_per_rg = max(1, f.metadata.num_rows // max(1, n_rg))
+            rgs_per_task = max(1, self.combine_batch_size // rows_per_rg)
+            ranges = [(i, min(i + rgs_per_task, n_rg))
+                      for i in range(0, n_rg, rgs_per_task)]
+            split_task = ray.remote(num_returns=n_groups)(snapshot_split)
+            write_task = ray.remote(snapshot_write_partition)
+            slice_refs = [split_task.remote(base_path, a, b, target, P, G)
+                          for a, b in ranges]
+            if n_groups == 1:
+                slice_refs = [[r] for r in slice_refs]
+            stats_refs = [
+                write_task.remote(p, self.table_dir, 0, target,
+                                  *[refs[p // G] for refs in slice_refs])
+                for p in range(P)
+            ]
+            stats_df = pd.concat(ray.get(stats_refs), ignore_index=True)
             if stats_df.empty:  # empty base snapshot
                 stats_df = pd.DataFrame(columns=STATS_COLUMNS)
         else:
@@ -352,11 +367,6 @@ class CDCJob:
 def _copy_part(p):
     from ..state.manifest import PartitionState
     return PartitionState(**vars(p))
-
-
-def _with_lineage(t: pa.Table, target: pa.Schema) -> pa.Table:
-    from ..schema import conform_to_schema
-    return conform_to_schema(t, target)
 
 
 def _target_schema(base_schema: pa.Schema) -> pa.Schema:

@@ -17,10 +17,11 @@ the work into two Ray Data stages:
    (``dup_folded``, ``conf_folded``, ``max_lsn_folded``) so partition counters
    stay exact.
 
-2. **Partition merge** (``groupby("part").map_groups``): all winner rows for
-   one partition + that partition's base Parquet file (a partition-local read
-   — base rows never enter the shuffle) -> dedup verbatim redeliveries by
-   ``lsn``, LWW-merge with base, drop tombstone winners, write the new
+2. **Partition merge** (one direct-shuffle reduce task per partition — see
+   the "direct two-stage shuffle" section below): all winner rows for one
+   partition + that partition's base Parquet file (a partition-local read —
+   base rows never enter the shuffle) -> dedup verbatim redeliveries by
+   ``lsn``, LWW-merge with base, persist tombstone winners, write the new
    immutable ``p={i}/v{version}.parquet``, return a one-row stats frame.
 
 Counter algebra (matches pipelines/oracle.py exactly when a duplicate
@@ -369,29 +370,79 @@ def merge_partition_slices(part: int, merger, *slices) -> pd.DataFrame:
     return merger(pa.concat_tables(tables, promote_options="permissive"))
 
 
-def make_snapshot_writer(table_dir: str, version: int, target_schema: pa.Schema):
-    """Initial-load partition writer: hash-partitioned base snapshot -> v0
-    files. Reference analogue: initial load into a fresh timestamped index
+def snapshot_split(path: str, rg_start: int, rg_end: int,
+                   target_schema: pa.Schema, num_partitions: int,
+                   group_size: int = 8):
+    """Initial-load stage-1 task: read a row-group range of the base
+    snapshot, add partition ids, split into partition-group slices (same
+    direct-shuffle shape as combine_and_split)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    f = pq_.ParquetFile(path)
+    t = f.read_row_groups(list(range(rg_start, rg_end)))
+    t = conform_to_schema(t, target_schema)
+    from .partition import partition_ids
+
+    part = partition_ids(t["conv_id"], num_partitions)
+    t = t.append_column("part", pa.array(part))
+    n_groups = -(-num_partitions // group_size)
+    if t.num_rows == 0:
+        return None if n_groups == 1 else tuple([None] * n_groups)
+    groups = pc.divide(t["part"], group_size)
+    out: list = [None] * n_groups
+    for g in pc.unique(groups).to_pylist():
+        out[int(g)] = t.filter(pc.equal(groups, g))
+    return out[0] if n_groups == 1 else tuple(out)
+
+
+def snapshot_write_partition(part: int, table_dir: str, version: int,
+                             target_schema: pa.Schema, *slices) -> pd.DataFrame:
+    """Initial-load stage-2 task: write one partition's v0 file.
+
+    Reference analogue: initial load into a fresh timestamped index
     (.../elastic/ElasticsearchService.java:74-91)."""
+    import pyarrow.compute as pc
 
     from ..schema import stored_schema
 
     disk_schema = stored_schema(target_schema)
+    tables = []
+    for t in slices:
+        if t is None or t.num_rows == 0:
+            continue
+        mine = t.filter(pc.equal(t["part"], part))
+        if mine.num_rows:
+            tables.append(mine.drop_columns(["part"]))
+    if not tables:
+        return pd.DataFrame(columns=STATS_COLUMNS)
+    t = pa.concat_tables(tables, promote_options="permissive")
 
-    def write_partition(group: pd.DataFrame) -> pd.DataFrame:
-        part = int(group["part"].iloc[0])
-        live = group.drop(columns=["part"]).sort_values(KEY_COLS, kind="stable")
-        live = live.assign(op="B")  # snapshot provenance marker
-        out = conform_to_schema(
-            pa.Table.from_pandas(live, preserve_index=False), disk_schema)
-        rel = f"p={part}/v{version}.parquet"
-        final_path = os.path.join(table_dir, rel)
-        os.makedirs(os.path.dirname(final_path), exist_ok=True)
-        tmp = final_path + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, final_path)
-        wm = int(pd.to_numeric(group["lsn"]).max()) if len(group) else 0
-        return pd.DataFrame(
-            [[part, out.num_rows, 0, 0, 0, max(wm, 0), rel]], columns=STATS_COLUMNS)
+    from .partition import dict_encode
 
-    return write_partition
+    codes, uniq = dict_encode(t["conv_id"])
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_u = np.empty(len(uniq), dtype=np.int64)
+    rank_u[np.argsort(np.asarray(uniq))] = np.arange(len(uniq))
+    order = np.lexsort((turn, rank_u[codes]))
+    t = t.take(pa.array(order))
+    out = conform_to_schema(t, disk_schema)
+    out = out.set_column(out.schema.get_field_index("op"), "op",
+                         pa.array(np.repeat("B", out.num_rows), pa.string()))
+    # a base table without lineage gets lsn=0 (pre-WAL snapshot)
+    out = out.set_column(out.schema.get_field_index("lsn"), "lsn",
+                         pc.fill_null(out["lsn"], 0))
+
+    rel = f"p={part}/v{version}.parquet"
+    final_path = os.path.join(table_dir, rel)
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, final_path)
+    lsns = out["lsn"].to_numpy(zero_copy_only=False)
+    wm = int(lsns.max()) if len(lsns) else 0
+    return pd.DataFrame(
+        [[part, out.num_rows, 0, 0, 0, max(wm, 0), rel]],
+        columns=STATS_COLUMNS)
+
+
