@@ -56,16 +56,19 @@ def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
                          "vec_id": pa.array(vi, pa.int64()),
                          "sim": pa.array(sv)})
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["sim", "vec_id"],
+                                       ascending=[False, True], kind="stable")
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]],
+                                    preserve_index=False)
 
+    # partial top-k bounds the final to n_queries x k x n_blocks rows
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096)
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow",
+                                               batch_size=None)
 
 
 N_PLANES = 8  # 2^8 buckets
@@ -114,15 +117,18 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
                          "vec_id": pa.array(vi[ok], pa.int64()),
                          "sim": pa.array(sv[ok])})
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["sim", "vec_id"],
+                                       ascending=[False, True], kind="stable")
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]],
+                                    preserve_index=False)
 
     partials = ds.map_batches(bucketed_topk, batch_format="pyarrow",
                               batch_size=4096)
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow",
+                                               batch_size=None)
 
 
 def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:

@@ -28,21 +28,22 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     def pre(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        h = pd.util.hash_array(df["text"].to_numpy(object))
-        df["_h"] = h.astype(np.int64)
-        g = df.groupby("_h", sort=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
-            text=("text", "first")).reset_index()
+        g = df.groupby("text", sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        # same-hash group: resolve per exact text (hash collisions safe)
-        out = g.groupby("text", sort=False).agg(
+    def final(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")).reset_index()
-        return out[["doc_id", "n_copies"]]
+        return pa.Table.from_pandas(g[["doc_id", "n_copies"]],
+                                    preserve_index=False)
 
-    return ds.map_batches(pre, batch_format="pyarrow").groupby("_h") \
-             .map_groups(final, batch_format="pandas")
+    # pre-reduce bounds the final to distinct texts per block; for an
+    # unbounded distinct-text corpus swap the single final for
+    # groupby(content-hash).map_groups — pre stage unchanged
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    return pre_ds.repartition(1).map_batches(final, batch_format="pyarrow",
+                                             batch_size=None)
 
 
 # ------------------------------------------- word-set Jaccard (brute force)
@@ -165,18 +166,30 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Data
             "doc_id": pa.array(np.tile(doc, N_BANDS)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ai, bj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+    def all_bucket_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ai, bj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bj])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                              "doc_b": np.concatenate(out_b)})
+        pairs = pairs.drop_duplicates()  # pairs found by multiple bands
+        return pa.Table.from_pandas(pairs, preserve_index=False)
 
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow",
                           fn_kwargs={"shingle": shingle})
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # dedup candidate pairs produced by multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # band rows are tiny int triples; a single bucket-join task handles
+    # verification-scale corpora — at web scale swap the repartition(1) for
+    # groupby(["band","band_hash"]) bucket tasks (same bucket-pair body)
+    return bands.repartition(1).map_batches(all_bucket_pairs,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
