@@ -94,6 +94,16 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
         if n == 0:
             return _empty_combined(unified_schema)
 
+        # validation guard (reference M10: fail the record if required fields
+        # are null, AbstractChangedFacilityService.java:24-27): key and
+        # ordering columns must be non-null or LWW ordering is undefined
+        for req in ("conv_id", "turn_idx", "lsn", "ts", "op"):
+            nc = batch[req].null_count
+            if nc:
+                raise ValueError(
+                    f"{nc} null value(s) in required change-event column "
+                    f"{req!r} — malformed WAL segment")
+
         # integer views only — the string payload is touched exactly twice:
         # one dictionary-encode pass and one final take of the winner rows.
         # (The memory-bandwidth-frugal shape: sorting/grouping full string

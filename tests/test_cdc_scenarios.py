@@ -232,6 +232,28 @@ def test_per_partition_golden_counters(workdir):
         assert m.part(i).lsn_watermark <= m.applied_through_lsn
 
 
+def test_null_required_column_rejected(workdir):
+    # M10 null-payload guard: a malformed event (null ts) must fail the
+    # batch — and therefore never advance the savepoint
+    base = make_base(WalSpec(seed=1, n_convs=1, turns_per_conv=1))
+    wal = _mk_wal([
+        dict(lsn=1, op="U", conv_id="c000000", turn_idx=0, role="user",
+             text="bad", tool=None, ts=None),
+    ])
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.join(workdir, "base"), exist_ok=True)
+    base_path = os.path.join(workdir, "base", "base.parquet")
+    pq.write_table(base, base_path)
+    from cwds_jobs_ray.synth import write_wal_segments
+    write_wal_segments(wal, os.path.join(workdir, "wal"), 1)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=2, events_per_batch=10**9)
+    with pytest.raises(Exception, match="null value"):
+        job.run(base_path=base_path)
+    m = Manifest.load(os.path.join(workdir, "table"))
+    assert m.applied_through_lsn == 0  # savepoint did not advance
+
+
 def test_lww_tiebreak_on_lsn_at_equal_ts(workdir):
     # two updates with identical ts: higher lsn wins (reference total order
     # is (timestamp, id): QueryConstants.java:72-73)
