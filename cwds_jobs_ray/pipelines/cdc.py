@@ -30,12 +30,11 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..schema import CHANGE_SCHEMA_V2, TRANSCRIPT_SCHEMA, PUBLIC_COLS, unify_change_schemas
+from ..schema import PUBLIC_COLS, TRANSCRIPT_SCHEMA, unify_change_schemas
 from ..sources.wal import SegmentInfo, batch_schema, list_segments, plan_batches
 from ..stages.merge import (
     STATS_COLUMNS,
     combine_and_split,
-    make_combiner,
     make_partition_merger,
     merge_partition_slices,
     snapshot_split,

@@ -21,7 +21,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 # --------------------------------------------------------------------------
 # helpers

@@ -41,8 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..schema import KEY_COLS, PAYLOAD_COLS, conform_to_schema
-from .partition import partition_ids
+from ..schema import conform_to_schema
 
 STATS_COLUMNS = [
     "part", "rows_applied", "dedup_count", "conflict_count",

@@ -8,7 +8,6 @@ of a conversation live in one partition.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
