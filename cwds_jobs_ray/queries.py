@@ -31,7 +31,6 @@ def _read(sf_dir: str, table: str, columns=None, filter=None) -> ray.data.Datase
                                  filter=filter)
 
 
-_OP_CASES = {"signup": "I", "purchase": "D"}
 OP_SQL = ("CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'D' "
           "ELSE 'U' END")
 

@@ -267,3 +267,20 @@ def test_lww_tiebreak_on_lsn_at_equal_ts(workdir):
     job, m = _run_explicit(workdir, base, wal)
     assert job.read_table_arrow().to_pydict()["text"] == ["second"]
     assert m.total("conflict_count") == 1
+
+
+@pytest.mark.parametrize("P", [1, 3, 64])
+def test_partition_count_edges(workdir, P):
+    # P=1 exercises the bare-ref normalization (num_returns=1); P=3 a
+    # non-multiple of slice_group_size; P=64 more partitions than keys
+    spec = WalSpec(seed=19, n_convs=6, turns_per_conv=3, n_events=80,
+                   n_segments=2, dup_redelivery_frac=0.1)
+    sub = os.path.join(workdir, f"P{P}")
+    d = synthesize(spec, sub)
+    job = CDCJob(os.path.join(sub, "table"), os.path.join(sub, "wal"),
+                 num_partitions=P, events_per_batch=30)
+    m = job.run(base_path=d["base_path"])
+    o = replay(d["base"], d["wal"], P)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    assert m.total("conflict_count") == o.conflict_count
