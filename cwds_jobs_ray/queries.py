@@ -484,6 +484,68 @@ def union_change_sources(sf_dir: str):
     return clicks.union(errors)
 
 
+def asof_join_latest_event(sf_dir: str):
+    """As-of join (custom operator; Ray Data has none): each order joined to
+    the latest event of its customer at-or-before the order date.
+
+    Small side (events) broadcast sorted; per-batch ``pd.merge_asof`` with
+    ``by=key, direction=backward`` — ties on ts resolved to max event_id by
+    sorting the right side on (ts, event_id). SCALE NOTE: when both sides
+    are large, bucket both by hash(key) and run the same merge_asof per
+    bucket (the ray_guide as-of pattern)."""
+    import pyarrow.parquet as pq
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                           ).to_pandas()
+    orders = orders.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+    ref = ray.put(orders)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def asof(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(ref)
+        batch = batch.sort_values("ts", kind="stable")
+        out = pd.merge_asof(batch, right, left_on="ts", right_on="o_orderdate",
+                            left_by="user_id", right_by="o_custkey",
+                            direction="backward")
+        out = out.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({
+            "lsn": out["event_id"],
+            "user_id": out["user_id"],
+            "o_orderkey": out["o_orderkey"].astype("int64"),
+            "o_orderdate": out["o_orderdate"],
+        })
+
+    return ds.map_batches(asof, batch_format="pandas", batch_size=65536)
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows (custom operator): per-user sessions split at
+    >30-minute gaps, with per-session count and bounds. Sessions are
+    key-local state, so this is a per-key grouped computation — the one
+    place the catalog legitimately uses ``groupby(key).map_groups``
+    (sessions can span blocks, so block-local pre-reduce can't apply)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sess = gap.cumsum().astype("int64")
+        out = g.assign(session_id=sess).groupby("session_id", sort=False).agg(
+            user_id=("user_id", "first"),
+            n=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        ).reset_index()
+        return out[["user_id", "session_id", "n", "session_start",
+                    "session_end"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # training-data operators (dedup / similarity / text analysis / multimodal)
 
@@ -668,6 +730,8 @@ QUERIES = {
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
     "union_change_sources": union_change_sources,
+    "asof_join_latest_event": asof_join_latest_event,
+    "sessionize_events": sessionize_events,
     # training-data operators
     "dedup_exact_text": dedup_exact_text,
     "text_quality": text_quality,
@@ -853,6 +917,32 @@ ORACLE_SQL.update({
         SELECT qid AS query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}
     """,
     "paged_source_demo": "SELECT c_custkey, c_name FROM customer",
+    "asof_join_latest_event": """
+        WITH j AS (
+          SELECT e.event_id AS lsn, e.user_id, o.o_orderkey, o.o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC,
+                                             o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        SELECT lsn, user_id, o_orderkey, o_orderdate FROM j WHERE rn = 1
+    """,
+    "sessionize_events": """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM x)
+        SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY 1, 2
+    """,
     "embedding_neardup_pairs": f"""
         WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                           LIST_COSINE_SIMILARITY(
