@@ -114,25 +114,36 @@ class CDCJob:
         manifest.commit(self.table_dir)  # records that an initial load started
 
         if base_path is not None:
+            import glob as _glob
+            import os as _os
+
             import pyarrow.parquet as pq_
 
-            f = pq_.ParquetFile(base_path)
-            target = _target_schema(f.schema_arrow)
+            # base snapshot may be a single file or a directory of files
+            if _os.path.isdir(base_path):
+                files = sorted(_glob.glob(_os.path.join(base_path, "*.parquet")))
+            else:
+                files = [base_path]
+            target = _target_schema(pq_.ParquetFile(files[0]).schema_arrow)
             manifest.table_columns = [f_.name for f_ in target]
-            n_rg = f.metadata.num_row_groups
 
             # direct shuffle, same shape as apply_batch: row-group-ranged
-            # read/split tasks -> grouped slices -> one writer per partition
+            # read/split tasks (per file) -> grouped slices -> one writer
+            # per partition
             P, G = self.num_partitions, self.slice_group_size
             n_groups = -(-P // G)
-            rows_per_rg = max(1, f.metadata.num_rows // max(1, n_rg))
-            rgs_per_task = max(1, self.combine_batch_size // rows_per_rg)
-            ranges = [(i, min(i + rgs_per_task, n_rg))
-                      for i in range(0, n_rg, rgs_per_task)]
+            ranges: list[tuple[str, int, int]] = []
+            for fp in files:
+                fmeta = pq_.ParquetFile(fp).metadata
+                n_rg = fmeta.num_row_groups
+                rows_per_rg = max(1, fmeta.num_rows // max(1, n_rg))
+                rgs_per_task = max(1, self.combine_batch_size // rows_per_rg)
+                ranges.extend((fp, i, min(i + rgs_per_task, n_rg))
+                              for i in range(0, n_rg, rgs_per_task))
             split_task = ray.remote(num_returns=n_groups)(snapshot_split)
             write_task = ray.remote(snapshot_write_partition)
-            slice_refs = [split_task.remote(base_path, a, b, target, P, G)
-                          for a, b in ranges]
+            slice_refs = [split_task.remote(fp, a, b, target, P, G)
+                          for fp, a, b in ranges]
             if n_groups == 1:
                 slice_refs = [[r] for r in slice_refs]
             stats_refs = [

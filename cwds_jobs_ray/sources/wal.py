@@ -59,6 +59,15 @@ def list_segments(wal_dir: str) -> list[SegmentInfo]:
         if md.num_rows == 0:
             continue
         infos.append(SegmentInfo(path, int(mn), int(mx), md.num_rows, schema))
+    # enforce the planning invariant loudly: committed-ness is judged by
+    # max_lsn, so an out-of-order segment file would be skipped silently
+    # (data loss) — refuse instead
+    for prev, cur in zip(infos, infos[1:]):
+        if cur.max_lsn < prev.max_lsn:
+            raise ValueError(
+                f"WAL segment order violation: {cur.path} (max_lsn "
+                f"{cur.max_lsn}) sorts after {prev.path} (max_lsn "
+                f"{prev.max_lsn}); segments must be named in LSN order")
     return infos
 
 

@@ -208,7 +208,9 @@ def synthesize(spec: WalSpec, out_dir: str) -> dict:
     base_dir = os.path.join(out_dir, "base")
     os.makedirs(base_dir, exist_ok=True)
     base_path = os.path.join(base_dir, "base.parquet")
-    pq.write_table(base, base_path)
+    # modest row groups so the initial load's row-group-ranged split tasks
+    # can parallelize even over a single snapshot file
+    pq.write_table(base, base_path, row_group_size=65_536)
     wal_dir = os.path.join(out_dir, "wal")
     seg_paths = write_wal_segments(
         wal, wal_dir, spec.n_segments, spec.schema_v1_segments

@@ -284,3 +284,40 @@ def test_partition_count_edges(workdir, P):
     got = job.read_table_arrow()
     assert got.select(o.final.column_names).equals(o.final)
     assert m.total("conflict_count") == o.conflict_count
+
+
+def test_wal_segment_order_violation_rejected(workdir):
+    # the planner judges committed-ness by max_lsn in filename order — an
+    # out-of-order segment file must be refused loudly, not skipped silently
+    from cwds_jobs_ray.sources.wal import list_segments
+    import pyarrow.parquet as pq
+    w1 = _mk_wal([dict(lsn=10, op="I", conv_id="c0", turn_idx=0, role="u",
+                       text="x", tool=None, ts=TS)])
+    w2 = _mk_wal([dict(lsn=5, op="I", conv_id="c0", turn_idx=1, role="u",
+                       text="y", tool=None, ts=TS)])
+    wal_dir = os.path.join(workdir, "wal")
+    os.makedirs(wal_dir)
+    pq.write_table(w1, os.path.join(wal_dir, "segment-00000.parquet"))
+    pq.write_table(w2, os.path.join(wal_dir, "segment-00001.parquet"))
+    with pytest.raises(ValueError, match="order violation"):
+        list_segments(wal_dir)
+
+
+def test_initial_load_from_directory(workdir):
+    # base snapshot as a DIRECTORY of parquet files (multi-file lake table)
+    spec = WalSpec(seed=23, n_convs=10, turns_per_conv=3, n_events=50,
+                   n_segments=2)
+    d = synthesize(spec, workdir)
+    import pyarrow.parquet as pq
+    multi = os.path.join(workdir, "base_multi")
+    os.makedirs(multi)
+    b = d["base"]
+    half = b.num_rows // 2
+    pq.write_table(b.slice(0, half), os.path.join(multi, "part-0.parquet"))
+    pq.write_table(b.slice(half), os.path.join(multi, "part-1.parquet"))
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9)
+    m = job.run(base_path=multi)
+    o = replay(d["base"], d["wal"], 4)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
