@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="base snapshot parquet (initial load only)")
     run.add_argument("--partitions", type=int, default=16)
     run.add_argument("--events-per-batch", type=int, default=500_000)
+    run.add_argument("--follow", action="store_true",
+                     help="keep tailing the WAL for new segments")
+    run.add_argument("--poll-interval", type=float, default=2.0)
+    run.add_argument("--idle-polls-to-stop", type=int, default=None)
 
     st = sub.add_parser("status", help="print the committed manifest")
     st.add_argument("--table-dir", required=True)
@@ -84,7 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         job = CDCJob(args.table_dir, args.wal_dir,
                      num_partitions=args.partitions,
                      events_per_batch=args.events_per_batch)
-        m = job.run(base_path=args.base)
+        if args.follow:
+            m = job.follow(base_path=args.base,
+                           poll_interval_s=args.poll_interval,
+                           idle_polls_to_stop=args.idle_polls_to_stop)
+        else:
+            m = job.run(base_path=args.base)
         print(json.dumps({"job_mode": m.job_mode,
                           "table_version": m.table_version,
                           "applied_through_lsn": m.applied_through_lsn,

@@ -288,6 +288,43 @@ class CDCJob:
         logger.info("committed v%d: %d partitions touched", version, len(touched))
         return new_m
 
+    # ----------------------------------------------------------- tail mode
+    def follow(
+        self,
+        base_path: str | None = None,
+        poll_interval_s: float = 2.0,
+        idle_polls_to_stop: int | None = None,
+        max_polls: int | None = None,
+    ) -> Manifest:
+        """Continuous WAL tail: apply new segments as they land.
+
+        The reference achieves "streaming" by cron-scheduling the batch job
+        (README.md:3); this folds the schedule into the process. Each poll is
+        a normal exactly-once batch cycle, so killing the loop at any moment
+        leaves a committed manifest a plain ``run()`` resumes from.
+
+        ``idle_polls_to_stop``: stop after this many consecutive empty polls
+        (None = run until ``max_polls``).
+        """
+        import time as _time
+
+        manifest = self.run(base_path=base_path)
+        idle = 0
+        polls = 0
+        while True:
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                return manifest
+            _time.sleep(poll_interval_s)
+            before = manifest.applied_through_lsn
+            manifest = self.apply_wal(manifest)
+            if manifest.applied_through_lsn == before:
+                idle += 1
+                if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+                    return manifest
+            else:
+                idle = 0
+
     # ----------------------------------------------------------- compaction
     def compact(self, tombstone_horizon_lsn: int) -> Manifest:
         """Drop tombstones with lsn <= horizon from every partition.

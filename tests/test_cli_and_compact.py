@@ -72,3 +72,39 @@ def test_compaction_drops_old_tombstones_only(workdir):
     m3 = job.compact(10**9)
     assert tomb_count(m3) == 0
     assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+
+
+def test_follow_mode_picks_up_new_segments(workdir):
+    import threading
+    import pyarrow.compute as pc
+    from cwds_jobs_ray.synth import make_wal, write_wal_segments
+    from cwds_jobs_ray.pipelines.oracle import replay
+    import pyarrow as pa
+
+    spec = WalSpec(seed=41, n_convs=8, turns_per_conv=3, n_events=40,
+                   n_segments=2)
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9)
+
+    wal2 = make_wal(WalSpec(seed=42, n_convs=8, turns_per_conv=3, n_events=20,
+                            n_segments=1))
+    wal2 = wal2.set_column(wal2.schema.get_field_index("lsn"), "lsn",
+                           pc.add(wal2["lsn"], 40))
+
+    def land_later():
+        import time
+        time.sleep(1.0)
+        write_wal_segments(wal2, os.path.join(workdir, "wal2"), 1)
+        os.replace(os.path.join(workdir, "wal2", "segment-00000.parquet"),
+                   os.path.join(workdir, "wal", "segment-00050.parquet"))
+
+    t = threading.Thread(target=land_later)
+    t.start()
+    m = job.follow(base_path=d["base_path"], poll_interval_s=0.5,
+                   idle_polls_to_stop=4)
+    t.join()
+    assert m.applied_through_lsn == 60  # second wave applied by the tail
+    o = replay(d["base"], pa.concat_tables([d["wal"], wal2]), 4)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
