@@ -312,18 +312,18 @@ class CDCJob:
         idle = 0
         polls = 0
         while True:
-            polls += 1
-            if max_polls is not None and polls >= max_polls:
-                return manifest
             _time.sleep(poll_interval_s)
             before = manifest.applied_through_lsn
             manifest = self.apply_wal(manifest)
+            polls += 1
             if manifest.applied_through_lsn == before:
                 idle += 1
                 if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
                     return manifest
             else:
                 idle = 0
+            if max_polls is not None and polls >= max_polls:
+                return manifest
 
     # ----------------------------------------------------------- compaction
     def compact(self, tombstone_horizon_lsn: int) -> Manifest:
