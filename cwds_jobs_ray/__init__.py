@@ -26,3 +26,14 @@ __version__ = "0.1.0"
 import os as _os
 
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+# Retain freed Arrow pages instead of returning them to the OS: this
+# sandbox's kernel serializes page faults across processes (see
+# BASELINE.md "Scaling analysis"), so re-faulting purged pages is the
+# dominant cost under full-node concurrency. Harmless elsewhere.
+try:
+    import pyarrow as _pa
+
+    _pa.jemalloc_set_decay_ms(-1)
+except (ImportError, NotImplementedError):  # pragma: no cover
+    pass

@@ -59,15 +59,15 @@ def list_segments(wal_dir: str) -> list[SegmentInfo]:
         if md.num_rows == 0:
             continue
         infos.append(SegmentInfo(path, int(mn), int(mx), md.num_rows, schema))
-    # enforce the planning invariant loudly: committed-ness is judged by
-    # max_lsn, so an out-of-order segment file would be skipped silently
-    # (data loss) — refuse instead
-    for prev, cur in zip(infos, infos[1:]):
-        if cur.max_lsn < prev.max_lsn:
-            raise ValueError(
-                f"WAL segment order violation: {cur.path} (max_lsn "
-                f"{cur.max_lsn}) sorts after {prev.path} (max_lsn "
-                f"{prev.max_lsn}); segments must be named in LSN order")
+    # NOTE on the committed-iff-max_lsn rule's safety: a segment with
+    # max_lsn <= applied_through contains only events at-or-below the
+    # watermark, i.e. already-applied originals or verbatim redeliveries —
+    # skipping it IS the dedup (segments that are pure redelivery tails are
+    # normal and legitimately non-monotonic). The writer-side invariant is
+    # only that an event's FIRST delivery appears in filename order no later
+    # than any segment carrying a higher lsn — the same assumption the
+    # reference makes of its ordered change feed (everything below the
+    # savepoint has been processed).
     return infos
 
 

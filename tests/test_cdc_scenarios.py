@@ -286,21 +286,27 @@ def test_partition_count_edges(workdir, P):
     assert m.total("conflict_count") == o.conflict_count
 
 
-def test_wal_segment_order_violation_rejected(workdir):
-    # the planner judges committed-ness by max_lsn in filename order — an
-    # out-of-order segment file must be refused loudly, not skipped silently
-    from cwds_jobs_ray.sources.wal import list_segments
+def test_pure_redelivery_tail_segment_skipped_safely(workdir):
+    # a trailing segment of only verbatim redeliveries has max_lsn below the
+    # watermark after the first run — the planner must skip it (that IS the
+    # dedup) and the table must stay byte-equal
+    from cwds_jobs_ray.sources.wal import list_segments, plan_batches
     import pyarrow.parquet as pq
-    w1 = _mk_wal([dict(lsn=10, op="I", conv_id="c0", turn_idx=0, role="u",
-                       text="x", tool=None, ts=TS)])
-    w2 = _mk_wal([dict(lsn=5, op="I", conv_id="c0", turn_idx=1, role="u",
-                       text="y", tool=None, ts=TS)])
-    wal_dir = os.path.join(workdir, "wal")
-    os.makedirs(wal_dir)
-    pq.write_table(w1, os.path.join(wal_dir, "segment-00000.parquet"))
-    pq.write_table(w2, os.path.join(wal_dir, "segment-00001.parquet"))
-    with pytest.raises(ValueError, match="order violation"):
-        list_segments(wal_dir)
+    spec = WalSpec(seed=29, n_convs=5, turns_per_conv=2, n_events=30,
+                   n_segments=2, dup_redelivery_frac=0)
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9)
+    m = job.run(base_path=d["base_path"])
+    before = job.read_table_arrow()
+    # redelivery tail: verbatim copies of events 5..9 land as a NEW segment
+    dup = d["wal"].slice(5, 5)
+    pq.write_table(dup, os.path.join(workdir, "wal", "segment-00099.parquet"))
+    segs = list_segments(os.path.join(workdir, "wal"))
+    assert plan_batches(segs, m.applied_through_lsn, 10**9) == []  # skipped
+    m2 = job.run()
+    assert m2.applied_through_lsn == m.applied_through_lsn
+    assert job.read_table_arrow().equals(before)
 
 
 def test_initial_load_from_directory(workdir):
