@@ -150,5 +150,13 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dat
         return pa.table({"vec_a": pa.array(bids[ai], pa.int64()),
                          "vec_b": pa.array(ids_s[bj], pa.int64())})
 
-    return ds.select_columns(["vec_id"]).map_batches(
+    out = ds.select_columns(["vec_id"]).map_batches(
         pairs, batch_format="pyarrow", batch_size=2048)
+    # materialize with explicit schema: an all-empty Dataset loses its
+    # column schema through to_pandas, which breaks empty-result compares
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64())})
+    return pa.concat_tables(batches)
