@@ -50,8 +50,15 @@ def _transcript_replay(sf_dir: str):
     work = f"/tmp/cwds_jobs_ray_cache/replay_{tag}"
     table_dir, wal_dir = f"{work}/table", f"{work}/wal"
     if not os.path.isdir(wal_dir):
-        os.makedirs(work, exist_ok=True)
-        synthesize(spec, work)
+        # atomic cache population (interrupted synth must not poison cache)
+        tmp = work + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        synthesize(spec, tmp)
+        try:
+            os.rename(tmp, work)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(table_dir, ignore_errors=True)
     job = CDCJob(table_dir, wal_dir, num_partitions=16,
                  events_per_batch=2_000_000)

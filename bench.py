@@ -66,8 +66,16 @@ def _workload():
     tag = hashlib.md5(repr(spec).encode()).hexdigest()[:10]
     work = f"/tmp/cwds_jobs_ray_cache/bench_{tag}"
     if not os.path.isdir(os.path.join(work, "wal")):
-        os.makedirs(work, exist_ok=True)
-        synthesize(spec, work)
+        # atomic cache population: synthesize into a temp dir, rename into
+        # place — an interrupted synth must never look like a cached workload
+        tmp = work + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        synthesize(spec, tmp)
+        try:
+            os.rename(tmp, work)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
     return work, n_events
 
 

@@ -131,7 +131,7 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
                                                batch_size=None)
 
 
-def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
+def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> pa.Table:
     """All pairs (a < b) with cosine >= threshold: corpus matrix broadcast
     once, one matmul per block (embedding-cosine near-dup detection)."""
     tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()

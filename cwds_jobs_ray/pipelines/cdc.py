@@ -106,9 +106,13 @@ class CDCJob:
         """Hash-partition the base snapshot into immutable v0 files.
 
         Idempotent: resume redoes the partitioning (writes land on the same
-        deterministic paths); the manifest commit is the publish point.
+        deterministic paths); the manifest commit is the publish point. A
+        resume keeps the prior attempt's partition count — P is fixed for
+        the table's lifetime.
         """
-        manifest = Manifest.new(self.num_partitions)
+        prior_P = manifest.num_partitions if manifest is not None \
+            else self.num_partitions
+        manifest = Manifest.new(prior_P)
         manifest.job_mode = INITIAL_RESUME
         manifest.base_path = base_path
         manifest.commit(self.table_dir)  # records that an initial load started
@@ -124,13 +128,16 @@ class CDCJob:
                 files = sorted(_glob.glob(_os.path.join(base_path, "*.parquet")))
             else:
                 files = [base_path]
+            from ..schema import schema_to_b64
+
             target = _target_schema(pq_.ParquetFile(files[0]).schema_arrow)
             manifest.table_columns = [f_.name for f_ in target]
+            manifest.table_schema_b64 = schema_to_b64(target)
 
             # direct shuffle, same shape as apply_batch: row-group-ranged
             # read/split tasks (per file) -> grouped slices -> one writer
             # per partition
-            P, G = self.num_partitions, self.slice_group_size
+            P, G = manifest.num_partitions, self.slice_group_size
             n_groups = -(-P // G)
             ranges: list[tuple[str, int, int]] = []
             for fp in files:
@@ -157,7 +164,7 @@ class CDCJob:
         else:
             stats_df = pd.DataFrame(columns=STATS_COLUMNS)
 
-        for i in range(self.num_partitions):
+        for i in range(manifest.num_partitions):
             p = manifest.part(i)
             row = stats_df[stats_df["part"] == i]
             if len(row):
@@ -213,18 +220,19 @@ class CDCJob:
         """Apply one batch of whole WAL segments; advance manifest atomically."""
         version = manifest.table_version + 1
         change_schema = batch_schema(batch)
-        target = _evolve_schema(manifest, change_schema)
+        target = _evolve_schema(manifest, change_schema, self.table_dir)
 
-        watermarks = {i: manifest.part(i).lsn_watermark
-                      for i in range(self.num_partitions)}
-        base_files = {i: manifest.part(i).file
-                      for i in range(self.num_partitions)}
+        # the COMMITTED partition count governs everything — the manifest
+        # records P precisely so a job instance configured differently can
+        # never mis-route keys against existing base files
+        P = manifest.num_partitions
+        watermarks = {i: manifest.part(i).lsn_watermark for i in range(P)}
+        base_files = {i: manifest.part(i).file for i in range(P)}
 
         # direct two-stage shuffle (see stages/merge.py rationale): combine
         # tasks emit per-partition slices via num_returns=P; merge tasks
         # reduce exactly one partition each, reading the base partition
         # locally — base rows never cross the wire.
-        P = self.num_partitions
         chunks: list[list[str]] = []
         cur, cur_rows = [], 0
         for s in batch:
@@ -256,6 +264,8 @@ class CDCJob:
         ]
         stats_df = pd.concat(ray.get(stats_refs), ignore_index=True)
 
+        from ..schema import schema_to_b64
+
         target_cols = [f.name for f in target]
         prev_cols = manifest.table_columns or [f.name for f in TRANSCRIPT_SCHEMA]
         new_m = Manifest(
@@ -266,6 +276,7 @@ class CDCJob:
             num_partitions=manifest.num_partitions,
             base_path=manifest.base_path,
             table_columns=target_cols,
+            table_schema_b64=schema_to_b64(target),
             applied_through_lsn=max(manifest.applied_through_lsn,
                                     max(s.max_lsn for s in batch)),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
@@ -363,7 +374,7 @@ class CDCJob:
 
         task = ray.remote(compact_one)
         refs = [task.remote(i, manifest.part(i).file, self.table_dir)
-                for i in range(self.num_partitions)
+                for i in range(manifest.num_partitions)
                 if manifest.part(i).file]
         new_m = Manifest(
             job_mode=manifest.job_mode,
@@ -372,6 +383,7 @@ class CDCJob:
             num_partitions=manifest.num_partitions,
             base_path=manifest.base_path,
             table_columns=manifest.table_columns,
+            table_schema_b64=manifest.table_schema_b64,
             applied_through_lsn=manifest.applied_through_lsn,
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
@@ -424,15 +436,25 @@ def _target_schema(base_schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _evolve_schema(manifest: Manifest, change_schema: pa.Schema) -> pa.Schema:
-    """Unify the committed base schema with the batch's payload columns —
+def _evolve_schema(manifest: Manifest, change_schema: pa.Schema,
+                   table_dir: str) -> pa.Schema:
+    """Unify the COMMITTED lake schema with the batch's payload columns —
     added nullable columns and widened types are allowed (schema evolution by
     unification + null back-fill, replacing the reference's
-    index-mapping-replacement model)."""
+    index-mapping-replacement model).
+
+    The committed schema is carried in the manifest (full Arrow schema,
+    types included), so a column added by an earlier batch survives later
+    batches that don't carry it — even when that batch touches partitions
+    the earlier one did not."""
+    from ..schema import schema_from_b64
+
     payload = pa.schema([f for f in change_schema if f.name not in ("op", "part")])
     base = TRANSCRIPT_SCHEMA
+    if manifest.table_schema_b64:
+        base = schema_from_b64(manifest.table_schema_b64)
     uni = unify_change_schemas([base, payload])
-    # keep base column order first, new columns appended
+    # keep committed column order first, new columns appended
     names = [f.name for f in base] + [f.name for f in uni if f.name not in
                                       [g.name for g in base]]
     return pa.schema([uni.field(n) for n in names])

@@ -193,6 +193,9 @@ def savepoint_next_batch(sf_dir: str):
         return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
     out = _tree_agg(ds, topk, topk).take_all()
+    if len(out) < k:  # oracle's LIMIT 1 OFFSET k-1 -> empty result
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "ts": pa.array([], pa.timestamp("us"))})
     return pa.Table.from_pylist([out[k - 1]]).select(["event_id", "ts"])
 
 

@@ -104,3 +104,18 @@ def conform_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
         else:
             cols.append(pa.nulls(n, type=f.type))
     return pa.Table.from_arrays(cols, schema=schema)
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    """Serialize an Arrow schema for embedding in the JSON manifest."""
+    import base64
+
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_b64(b64: str) -> pa.Schema:
+    import base64
+
+    import pyarrow.ipc as ipc
+
+    return ipc.read_schema(pa.BufferReader(base64.b64decode(b64)))

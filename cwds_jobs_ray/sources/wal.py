@@ -50,6 +50,8 @@ def list_segments(wal_dir: str) -> list[SegmentInfo]:
         md = f.metadata
         schema = f.schema_arrow
         lsn_idx = schema.get_field_index("lsn")
+        if lsn_idx < 0:
+            raise ValueError(f"not a WAL segment (no lsn column): {path}")
         mn, mx = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(lsn_idx).statistics
@@ -58,6 +60,10 @@ def list_segments(wal_dir: str) -> list[SegmentInfo]:
                 mx = st.max if mx is None else max(mx, st.max)
         if md.num_rows == 0:
             continue
+        if mn is None:  # writer emitted no column statistics: read the column
+            col = f.read(columns=["lsn"])["lsn"]
+            import pyarrow.compute as _pc
+            mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
         infos.append(SegmentInfo(path, int(mn), int(mx), md.num_rows, schema))
     # NOTE on the committed-iff-max_lsn rule's safety: a segment with
     # max_lsn <= applied_through contains only events at-or-below the

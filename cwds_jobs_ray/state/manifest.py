@@ -59,6 +59,8 @@ class Manifest:
     # committed lake-table columns; schema_version bumps when these change
     # (evolution by unification + null backfill)
     table_columns: list[str] = field(default_factory=list)
+    # full committed Arrow schema (serialized) — authoritative for evolution
+    table_schema_b64: str | None = None
     partitions: dict[str, PartitionState] = field(default_factory=dict)
 
     FILENAME = "manifest.json"

@@ -327,3 +327,36 @@ def test_initial_load_from_directory(workdir):
     o = replay(d["base"], d["wal"], 4)
     got = job.read_table_arrow()
     assert got.select(o.final.column_names).equals(o.final)
+
+
+def test_manifest_partition_count_governs_later_runs(workdir):
+    # a job instance configured with a DIFFERENT partition count must follow
+    # the committed manifest's P, not its own (key-routing safety)
+    spec = WalSpec(seed=33, n_convs=10, turns_per_conv=3, n_events=60,
+                   n_segments=2)
+    d = synthesize(spec, workdir)
+    job8 = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                  num_partitions=8, events_per_batch=30)
+    m = job8.run(base_path=d["base_path"])
+    assert m.num_partitions == 8
+
+    # second wave applied through a job configured with P=16
+    wal2 = make_wal(WalSpec(seed=34, n_convs=10, turns_per_conv=3,
+                            n_events=30, n_segments=1))
+    import pyarrow.compute as pc
+    wal2 = wal2.set_column(wal2.schema.get_field_index("lsn"), "lsn",
+                           pc.add(wal2["lsn"], 60))
+    write_wal_segments(wal2, os.path.join(workdir, "wal2"), 1)
+    os.replace(os.path.join(workdir, "wal2", "segment-00000.parquet"),
+               os.path.join(workdir, "wal", "segment-00077.parquet"))
+    job16 = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                   num_partitions=16, events_per_batch=10**9)
+    m2 = job16.run()
+    assert m2.num_partitions == 8  # committed P wins
+    o = replay(d["base"], pa.concat_tables([d["wal"], wal2]), 8)
+    got = job16.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    # compact through the mismatched instance also honors committed P
+    m3 = job16.compact(10**9)
+    assert m3.num_partitions == 8
+    assert job16.read_table_arrow().select(o.final.column_names).equals(o.final)

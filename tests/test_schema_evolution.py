@@ -92,3 +92,28 @@ def test_schema_version_stable_without_evolution(workdir):
     job, base_path = _setup(workdir, [v2a, v2b])
     m = job.run(base_path=base_path)
     assert m.schema_version == 1  # two batches, same schema, no bump
+
+
+def test_added_column_survives_later_batches_without_it(workdir):
+    # column added by batch N must survive batch N+1 that lacks it (the
+    # committed-schema unification, not static-schema unification)
+    v3 = _v3_table(1, "has-meta", "m1")
+    v2 = make_wal(WalSpec(seed=5, n_convs=4, turns_per_conv=3, n_events=5,
+                          n_segments=1, frac_delete=0, dup_redelivery_frac=0))
+    import pyarrow.compute as pc
+    v2 = v2.set_column(v2.schema.get_field_index("lsn"), "lsn",
+                       pc.add(v2["lsn"], 1))  # lsns 2..6 after the v3 event
+    job, base_path = _setup(workdir, [v3, v2])
+    m = job.run(base_path=base_path)
+
+    got = job.read_table_arrow()
+    assert "meta" in got.column_names
+    df = got.to_pandas().set_index(["conv_id", "turn_idx"])
+    # the v3 row's meta value survived the later meta-less batch
+    if df.loc[("c000000", 0), "text"] == "has-meta":
+        assert df.loc[("c000000", 0), "meta"] == "m1"
+    else:
+        # a v2 event overwrote the row wholesale -> meta is null there,
+        # but the COLUMN itself must still exist with correct schema
+        assert df["meta"].notna().sum() == 0
+    assert m.schema_version == 2  # bumped once, not per batch
