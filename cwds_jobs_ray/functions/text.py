@@ -81,6 +81,80 @@ def md5_fingerprint(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fp, pa.string())})
 
 
+# ----------------------------------------------------- BPE-ish tokenizer
+
+# GPT-2-style pretokenization pattern (public; simplified to stdlib `re`:
+# no \p classes). Contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs.
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+               r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: count BPE-ish pretokens per document.
+
+    The compiled regex is per-actor state (built ONCE in ``__init__`` — the
+    reference's load-once worker state, ST1/ST5); ``__call__`` does the
+    per-batch work. Use with ``map_batches(BpeTokenCounter, concurrency=N)``.
+    """
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = np.fromiter((len(self.pat.findall(t)) for t in texts),
+                             dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": pa.array(counts)})
+
+
+# ------------------------------------------------- rolling-hash winnowing
+
+WINNOW_K = 5   # character k-gram length
+WINNOW_W = 4   # window size (fingerprints = per-window minima)
+_ROLL_BASE = np.uint64(257)
+_ROLL_MOD_MASK = np.uint64((1 << 61) - 1)
+
+
+def _kgram_hashes(text: str) -> np.ndarray:
+    """Polynomial rolling hashes of all k-grams — one vectorized pass."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = len(b) - WINNOW_K + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(WINNOW_K):  # K tiny vectorized passes, not a per-char loop
+        h = (h * _ROLL_BASE + b[j:j + n]) & _ROLL_MOD_MASK
+    return h
+
+
+def winnow_fingerprints(batch: pa.Table) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
+    public algorithm): k-gram rolling hashes -> per-window minima -> the
+    document's fingerprint set. Emits set size + min fingerprint per doc
+    (compact sketch columns; the full set is derivable deterministically)."""
+    texts = batch["text"].to_pylist()
+    n_fp = np.zeros(len(texts), dtype=np.int64)
+    min_fp = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = _kgram_hashes(t)
+        if len(h) == 0:
+            continue
+        if len(h) <= WINNOW_W:
+            fps = {int(h.min())}
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+            fps = set(windows.min(axis=1).tolist())
+        n_fp[i] = len(fps)
+        min_fp[i] = min(fps)  # < 2^61, fits int64
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_fingerprints": pa.array(n_fp),
+                     "min_fingerprint": pa.array(min_fp)})
+
+
 # --------------------------------------------------------------- SimHash
 
 _SIMHASH_BITS = 64

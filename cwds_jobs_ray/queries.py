@@ -604,6 +604,25 @@ def doc_fingerprint(sf_dir: str):
                           batch_size=4096)
 
 
+def token_counts_bpe(sf_dir: str):
+    """BPE-ish regex token counts via an ACTOR POOL (regex compiled once per
+    actor — the stateful-stage pattern). Rows-only check; the tokenizer is
+    unit-tested against a pure-python reference."""
+    from .functions.text import BpeTokenCounter
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(BpeTokenCounter, batch_format="pyarrow",
+                          batch_size=2048, concurrency=2, num_cpus=1)
+
+
+def rolling_hash_fingerprints(sf_dir: str):
+    """Winnowing rolling-hash document fingerprints (rows-only check;
+    algorithm unit-tested on hand-computed examples)."""
+    from .functions.text import winnow_fingerprints
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(winnow_fingerprints, batch_format="pyarrow",
+                          batch_size=2048)
+
+
 def simhash_fingerprint(sf_dir: str):
     """64-bit SimHash per document (no SQL equivalent — rows-only check)."""
     from .functions.text import simhash_batch
@@ -741,6 +760,8 @@ QUERIES = {
     "token_counts_by_lang": token_counts_by_lang,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "token_counts_bpe": token_counts_bpe,
+    "rolling_hash_fingerprints": rolling_hash_fingerprints,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_dups": minhash_lsh_dups,

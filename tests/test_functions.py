@@ -104,3 +104,35 @@ def test_multimodal_unknown_kind_raises():
     ds = ray.data.from_arrow(media)
     with pytest.raises(Exception):
         extract_features(ds, concurrency=1).to_pandas()
+
+
+def test_bpe_tokenizer_matches_reference():
+    import re
+    from cwds_jobs_ray.functions.text import BPE_PATTERN, BpeTokenCounter
+    samples = ["I'll go, won't you?", "abc123 def!!", "  spaced   out  ",
+               "", "word's worth 42%"]
+    t = pa.table({"doc_id": pa.array(range(len(samples)), pa.int64()),
+                  "text": pa.array(samples)})
+    out = BpeTokenCounter()(t)
+    ref = [len(re.compile(BPE_PATTERN).findall(s)) for s in samples]
+    assert out["n_bpe_tokens"].to_pylist() == ref
+    assert ref[0] > 4  # contractions/punct split into multiple tokens
+
+
+def test_winnowing_fingerprints_properties():
+    from cwds_jobs_ray.functions.text import winnow_fingerprints
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",  # near-dup
+             "zzzzzz", ""]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    out = winnow_fingerprints(t)
+    n = out["n_fingerprints"].to_pylist()
+    assert n[0] > 0 and n[1] > 0
+    assert n[3] == 0  # empty doc -> no fingerprints
+    # identical text -> identical sketch (determinism)
+    out2 = winnow_fingerprints(t)
+    assert out.equals(out2)
+    # near-identical docs share their minimum fingerprint with high
+    # probability; identical prefix guarantees shared k-grams
+    assert n[2] == 1  # single repeated char -> one distinct k-gram window min
