@@ -101,3 +101,47 @@ def test_double_crash_same_batch(workdir):
     o = replay(d["base"], d["wal"], 4)
     assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
     assert m.total("conflict_count") == o.conflict_count
+
+
+def test_rewound_savepoint_replays_idempotently(workdir):
+    # reference scenario: forced resume from a rewound savepoint applies only
+    # what is missing (CwsFacilityJobTest.java:60-134 "resume from rewound
+    # savepoint"); here a rewound global watermark makes the engine re-read
+    # committed segments whose events are then replay-filtered per partition
+    d = synthesize(SPEC, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=100)
+    m = job.run(base_path=d["base_path"])
+    before = job.read_table_arrow()
+    skipped_before = m.total("replay_skipped")
+
+    # rewind the global savepoint halfway (partition watermarks untouched)
+    m.applied_through_lsn //= 2
+    m.commit(os.path.join(workdir, "table"))
+
+    m2 = job.run()
+    assert m2.applied_through_lsn == 300  # watermark restored to the true max
+    assert m2.total("replay_skipped") > skipped_before  # replays were filtered
+    assert job.read_table_arrow().equals(before)  # state unchanged
+
+
+def test_two_tables_are_independent(workdir):
+    # one table per CDCJob instance (the reference runs one job per module);
+    # manifests, files and watermarks must not interfere
+    d1 = synthesize(WalSpec(seed=51, n_convs=5, turns_per_conv=2,
+                            n_events=20, n_segments=1),
+                    os.path.join(workdir, "a"))
+    d2 = synthesize(WalSpec(seed=52, n_convs=7, turns_per_conv=3,
+                            n_events=30, n_segments=1),
+                    os.path.join(workdir, "b"))
+    ja = CDCJob(os.path.join(workdir, "a/table"), os.path.join(workdir, "a/wal"),
+                num_partitions=2, events_per_batch=10**9)
+    jb = CDCJob(os.path.join(workdir, "b/table"), os.path.join(workdir, "b/wal"),
+                num_partitions=4, events_per_batch=10**9)
+    ma = ja.run(base_path=d1["base_path"])
+    mb = jb.run(base_path=d2["base_path"])
+    assert ma.applied_through_lsn == 20 and mb.applied_through_lsn == 30
+    oa = replay(d1["base"], d1["wal"], 2)
+    ob = replay(d2["base"], d2["wal"], 4)
+    assert ja.read_table_arrow().select(oa.final.column_names).equals(oa.final)
+    assert jb.read_table_arrow().select(ob.final.column_names).equals(ob.final)
