@@ -131,6 +131,77 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
                                                batch_size=None)
 
 
+N_CENTROIDS = 16
+N_PROBE = 3
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 13) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on unit vectors (cosine ≈ dot)."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
+             query_ids: np.ndarray, k: int) -> ray.data.Dataset:
+    """IVF approximate top-k: a coarse k-means quantizer partitions the
+    corpus into inverted lists; each query probes only its N_PROBE nearest
+    centroids' lists.
+
+    The quantizer is trained once on a driver-side sample and broadcast; at
+    scale, train on `ds.random_sample(...)` and raise N_CENTROIDS ~ sqrt(n).
+    """
+    sample = _unit(np.asarray(ds.limit(4096).to_pandas()["embedding"].tolist(),
+                              dtype=np.float64))
+    cents = _kmeans(sample, N_CENTROIDS)
+    q = _unit(queries)
+    qprobe = np.argsort(-(q @ cents.T), axis=1)[:, :N_PROBE]
+    qref = ray.put((q, query_ids, cents, qprobe))
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        qq, qids, cc, qp = ray.get(qref)
+        m = _unit(_mat(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        assign = (m @ cc.T).argmax(axis=1)  # inverted-list id per vector
+        sims = qq @ m.T
+        # mask: vector's list must be among the query's probed lists
+        cand = (assign[None, :, None] == qp[:, None, :]).any(axis=2)
+        sims = np.where(cand, sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(qids, kk)
+        vi = ids[part.reshape(-1)]
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        ok = np.isfinite(sv)
+        return pa.table({"query_id": pa.array(qi[ok], pa.int64()),
+                         "vec_id": pa.array(vi[ok], pa.int64()),
+                         "sim": pa.array(sv[ok])})
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["sim", "vec_id"],
+                                       ascending=[False, True], kind="stable")
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]],
+                                    preserve_index=False)
+
+    partials = ds.map_batches(probe_topk, batch_format="pyarrow",
+                              batch_size=4096)
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow",
+                                               batch_size=None)
+
+
 def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> pa.Table:
     """All pairs (a < b) with cosine >= threshold: corpus matrix broadcast
     once, one matmul per block (embedding-cosine near-dup detection)."""

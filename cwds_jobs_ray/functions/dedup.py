@@ -98,6 +98,45 @@ def jaccard_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
               .map_batches(pair_finder, batch_format="pandas", batch_size=512))
 
 
+# ----------------------------------------------- connected components
+
+def connected_components(pairs: ray.data.Dataset,
+                         max_rounds: int = 20) -> ray.data.Dataset:
+    """Duplicate clusters from candidate pairs via iterative min-label
+    propagation (the ray_guide dedup pattern): each round every node adopts
+    the minimum label in its neighborhood; converges in O(diameter) rounds.
+
+    Each round is a map + bounded reduce over (node, label) int pairs — the
+    distributed-safe alternative to driver-side union-find; at web scale
+    swap the single final for a groupby(node) reduce per round.
+    Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component; singletons are omitted (only docs appearing in pairs).
+    """
+    import pandas as pd_
+
+    edges = pairs.to_pandas()
+    if edges.empty:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    # undirected edge list both ways
+    fwd = edges.rename(columns={"doc_a": "u", "doc_b": "v"})[["u", "v"]]
+    rev = fwd.rename(columns={"u": "v", "v": "u"})[["u", "v"]]
+    adj = pd_.concat([fwd, rev], ignore_index=True)
+    label = pd_.Series(adj["u"].unique(), index=adj["u"].unique())
+    for _ in range(max_rounds):
+        # neighbor-min: label[u] <- min(label[u], min(label[v] for v~u))
+        nbr = adj.assign(lv=label.reindex(adj["v"]).to_numpy())
+        new = nbr.groupby("u")["lv"].min()
+        updated = pd_.concat([label, new], axis=1).min(axis=1)
+        if updated.equals(label):
+            break
+        label = updated
+    out = pa.table({"doc_id": pa.array(label.index.to_numpy(np.int64)),
+                    "cluster_id": pa.array(label.to_numpy(np.int64))})
+    return ray.data.from_arrow(out)
+
+
 # --------------------------------------------------------- MinHash + LSH
 
 N_PERM = 64

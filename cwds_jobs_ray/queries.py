@@ -652,6 +652,16 @@ def minhash_lsh_dups(sf_dir: str):
     return lsh_candidate_pairs(ds, shingle=3)
 
 
+def neardup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS: brute-verified word-set Jaccard pairs -> connected
+    components via min-label propagation. Oracle-exact: DuckDB computes the
+    same transitive closure with a recursive CTE."""
+    from .functions.dedup import connected_components, jaccard_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(ds, JACCARD_THRESHOLD)
+    return connected_components(pairs)
+
+
 ANN_K = 10
 ANN_N_QUERIES = 5
 
@@ -671,6 +681,16 @@ def ann_cosine_topk(sf_dir: str):
     q, qids = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return cosine_topk(ds, q, qids, ANN_K)
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (coarse k-means quantizer + inverted
+    lists; scale path alongside the LSH variant). Rows-only check; recall
+    vs the exact baseline tested in tests/test_functions.py."""
+    from .functions.ann import ivf_topk
+    q, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, qids, ANN_K)
 
 
 def ann_lsh_topk(sf_dir: str):
@@ -767,6 +787,8 @@ QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "neardup_clusters": neardup_clusters,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "multimodal_features": multimodal_features,
     "paged_source_demo": paged_source_demo,
@@ -915,6 +937,23 @@ ORACLE_SQL.update({
         FROM documents
     """,
     "doc_fingerprint": "SELECT doc_id, MD5(text) AS fp FROM documents",
+    "neardup_clusters": f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
+          FROM documents),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE LEN(LIST_INTERSECT(a.w, b.w))::DOUBLE
+                    / (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w)))
+                    >= {JACCARD_THRESHOLD}),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        walk(u, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, walk.label FROM e JOIN walk ON e.v = walk.u)
+        SELECT u AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY u
+    """,
     "ngram_jaccard_pairs": f"""
         WITH d AS (SELECT doc_id,
                           LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w

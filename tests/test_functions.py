@@ -136,3 +136,38 @@ def test_winnowing_fingerprints_properties():
     # near-identical docs share their minimum fingerprint with high
     # probability; identical prefix guarantees shared k-grams
     assert n[2] == 1  # single repeated char -> one distinct k-gram window min
+
+
+def test_ivf_recall_vs_exact():
+    from cwds_jobs_ray.functions.ann import ivf_topk
+    import pyarrow.parquet as pq
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    qids = np.arange(3, dtype=np.int64)
+    exact = cosine_topk(ds, q, qids, 5).to_pandas()
+    approx = ivf_topk(ds, q, qids, 5).to_pandas()
+    # self vector is always in its own probed list
+    for i in range(3):
+        assert t["vec_id"][i].as_py() in set(
+            approx[approx["query_id"] == i]["vec_id"])
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+    ap = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(ex & ap) / len(ex) >= 0.4  # nprobe=3/16 coarse index
+
+
+def test_connected_components_vs_union_find():
+    from cwds_jobs_ray.functions.dedup import connected_components
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)]  # {1,2,3,8,9}, {5,6}
+    t = pa.table({"doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "doc_b": pa.array([b for _, b in edges], pa.int64())})
+    out = connected_components(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_empty():
+    from cwds_jobs_ray.functions.dedup import connected_components
+    t = pa.table({"doc_a": pa.array([], pa.int64()),
+                  "doc_b": pa.array([], pa.int64())})
+    assert connected_components(ray.data.from_arrow(t)).count() == 0
