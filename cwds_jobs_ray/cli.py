@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--wal-dir", required=True)
     cp.add_argument("--tombstone-horizon-lsn", type=int, required=True)
 
+    ex = sub.add_parser("export", help="write the live table as sorted parquet")
+    ex.add_argument("--table-dir", required=True)
+    ex.add_argument("--out", required=True)
+
     sy = sub.add_parser("synth", help="generate a deterministic workload")
     sy.add_argument("--out", required=True)
     sy.add_argument("--events", type=int, default=10_000)
@@ -98,6 +102,15 @@ def main(argv: list[str] | None = None) -> int:
                           "table_version": m.table_version,
                           "applied_through_lsn": m.applied_through_lsn,
                           "rows": m.total("rows_applied")}))
+        return 0
+
+    if args.cmd == "export":
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
+        ds = job.read_table()
+        # per-partition files are already (conv_id, turn_idx)-sorted;
+        # exported files keep that order (one file per committed partition)
+        ds.write_parquet(args.out)
+        print(json.dumps({"rows": ds.count(), "out": args.out}))
         return 0
 
     if args.cmd == "compact":

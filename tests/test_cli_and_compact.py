@@ -108,3 +108,22 @@ def test_follow_mode_picks_up_new_segments(workdir):
     o = replay(d["base"], pa.concat_tables([d["wal"], wal2]), 4)
     got = job.read_table_arrow()
     assert got.select(o.final.column_names).equals(o.final)
+
+
+def test_cli_export(workdir, capsys):
+    spec = WalSpec(seed=61, n_convs=6, turns_per_conv=2, n_events=30,
+                   n_segments=1)
+    d = synthesize(spec, workdir)
+    table = os.path.join(workdir, "table")
+    assert cli_main(["run", "--table-dir", table,
+                     "--wal-dir", os.path.join(workdir, "wal"),
+                     "--base", d["base_path"], "--partitions", "4"]) == 0
+    run_out = json.loads(capsys.readouterr().out)
+    out_dir = os.path.join(workdir, "export")
+    assert cli_main(["export", "--table-dir", table, "--out", out_dir]) == 0
+    exp = json.loads(capsys.readouterr().out)
+    assert exp["rows"] == run_out["rows"]
+    import pyarrow.dataset as pads
+    t = pads.dataset(out_dir).to_table()
+    assert t.num_rows == run_out["rows"]
+    assert "op" not in t.column_names  # public columns only
