@@ -36,7 +36,6 @@ def main(argv: list[str] | None = None) -> int:
 
     cp = sub.add_parser("compact", help="drop tombstones older than a horizon")
     cp.add_argument("--table-dir", required=True)
-    cp.add_argument("--wal-dir", required=True)
     cp.add_argument("--tombstone-horizon-lsn", type=int, required=True)
 
     ex = sub.add_parser("export", help="write the live table as sorted parquet")
@@ -114,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        job = CDCJob(args.table_dir, args.wal_dir)
+        # compaction only touches table_dir; no WAL involved
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
         m = job.compact(args.tombstone_horizon_lsn)
         print(json.dumps({"table_version": m.table_version,
                           "rows": m.total("rows_applied")}))

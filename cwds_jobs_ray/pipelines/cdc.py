@@ -356,18 +356,15 @@ class CDCJob:
 
         def compact_one(part: int, rel: str, table_dir: str) -> tuple[int, str, int]:
             import os as _os
-            import uuid as _uuid
+
+            from ..stages.merge import write_atomic
             t = pq_.read_table(_os.path.join(table_dir, rel))
             if "op" in t.column_names:
                 drop = pc.and_(pc.equal(t["op"], "D"),
                                pc.less_equal(t["lsn"], tombstone_horizon_lsn))
                 t = t.filter(pc.invert(drop))
             new_rel = f"p={part}/v{version}.parquet"
-            path = _os.path.join(table_dir, new_rel)
-            _os.makedirs(_os.path.dirname(path), exist_ok=True)
-            tmp = path + f".tmp-{_uuid.uuid4().hex}"
-            pq_.write_table(t, tmp)
-            _os.replace(tmp, path)
+            write_atomic(t, _os.path.join(table_dir, new_rel))
             live = t.num_rows if "op" not in t.column_names else \
                 t.filter(pc.not_equal(t["op"], "D")).num_rows
             return part, new_rel, live
@@ -396,11 +393,18 @@ class CDCJob:
         return new_m
 
     # -------------------------------------------------------------- reading
+    def _load_manifest_or_raise(self) -> Manifest:
+        manifest = Manifest.load(self.table_dir)
+        if manifest is None:
+            raise RuntimeError(
+                f"no manifest at {self.table_dir}: run initial_load first")
+        return manifest
+
     def read_table(self, columns: list[str] | None = None) -> ray.data.Dataset:
         """Dataset over the committed partition files, tombstones filtered at
         the scan (row-group predicate pushdown on ``op``)."""
         import pyarrow.compute as pc
-        manifest = Manifest.load(self.table_dir)
+        manifest = self._load_manifest_or_raise()
         files = [f"{self.table_dir}/{f}" for f in sorted(manifest.committed_files())]
         cols = columns or PUBLIC_COLS
         return ray.data.read_parquet(files, columns=cols,
@@ -410,7 +414,7 @@ class CDCJob:
         """Driver-side materialization for tests/small tables only."""
         import pyarrow.parquet as pq
         import pyarrow.compute as pc
-        manifest = Manifest.load(self.table_dir)
+        manifest = self._load_manifest_or_raise()
         tables = [pq.read_table(f"{self.table_dir}/{f}")
                   for f in sorted(manifest.committed_files())]
         tables = [t for t in tables if t.num_rows] or tables[:1]

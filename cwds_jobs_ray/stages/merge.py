@@ -48,6 +48,26 @@ STATS_COLUMNS = [
     "replay_skipped", "lsn_watermark", "file",
 ]
 
+
+def write_atomic(table: pa.Table, final_path: str) -> None:
+    """Durable atomic data-file publish: temp write + fsync(file) +
+    ``os.replace`` + fsync(dir). The manifest commit is only a valid commit
+    point if the data files it references are durable FIRST — without the
+    fsyncs a power loss could commit a manifest referencing undurable bytes
+    (the machine-crash-level exactly-once hole)."""
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        pq.write_table(table, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final_path)
+    dfd = os.open(os.path.dirname(final_path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
 # Pluggable conflict-resolution policy (the reference's extension surface:
 # its sink SPI decides how a redelivered doc overwrites, SURVEY.md §2.10).
 # "lww": max (ts, lsn) wins (default — the reference's semantics).
@@ -301,11 +321,7 @@ def make_partition_merger(
                                            pa.int64())).as_py() or 0)
 
         rel = f"p={part}/v{version}.parquet"
-        final_path = os.path.join(table_dir, rel)
-        os.makedirs(os.path.dirname(final_path), exist_ok=True)
-        tmp = final_path + f".tmp-{uuid.uuid4().hex}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, final_path)
+        write_atomic(out, os.path.join(table_dir, rel))
 
         return pd.DataFrame(
             [[part, live_rows, dedup, conflict, replay_skipped, new_wm, rel]],
@@ -443,11 +459,7 @@ def snapshot_write_partition(part: int, table_dir: str, version: int,
                          pc.fill_null(out["lsn"], 0))
 
     rel = f"p={part}/v{version}.parquet"
-    final_path = os.path.join(table_dir, rel)
-    os.makedirs(os.path.dirname(final_path), exist_ok=True)
-    tmp = final_path + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(out, tmp)
-    os.replace(tmp, final_path)
+    write_atomic(out, os.path.join(table_dir, rel))
     lsns = out["lsn"].to_numpy(zero_copy_only=False)
     wm = int(lsns.max()) if len(lsns) else 0
     return pd.DataFrame(

@@ -61,6 +61,10 @@ class Manifest:
     table_columns: list[str] = field(default_factory=list)
     # full committed Arrow schema (serialized) — authoritative for evolution
     table_schema_b64: str | None = None
+    # key->partition routing algorithm id: committed base files encode this
+    # routing, so a mismatch (library upgrade, algo change) must fail fast
+    # instead of silently mis-routing keys (stale/duplicate rows)
+    hash_algo: str = "fnv1a64-fmix-v1"
     partitions: dict[str, PartitionState] = field(default_factory=dict)
 
     FILENAME = "manifest.json"
@@ -81,7 +85,14 @@ class Manifest:
         with open(path) as f:
             raw = json.load(f)
         parts = {k: PartitionState(**v) for k, v in raw.pop("partitions").items()}
-        return cls(partitions=parts, **raw)
+        m = cls(partitions=parts, **raw)
+        from ..stages.partition import HASH_ALGO
+        if m.hash_algo != HASH_ALGO:
+            raise RuntimeError(
+                f"table at {table_dir} was committed with partition hash "
+                f"{m.hash_algo!r} but this build routes with {HASH_ALGO!r} — "
+                "refusing to mis-route keys against existing base files")
+        return m
 
     # -- commit -----------------------------------------------------------
     def commit(self, table_dir: str) -> None:

@@ -61,3 +61,46 @@ def test_gc_removes_only_uncommitted(workdir):
     removed = m.gc_uncommitted(workdir)
     assert removed == ["p=0/v2.parquet"]
     assert os.path.exists(os.path.join(workdir, "p=0", "v1.parquet"))
+
+
+def test_partition_hash_pinned_and_stable():
+    """The routing hash is version-pinned: these golden values must NEVER
+    change without bumping HASH_ALGO (committed base files encode them)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cwds_jobs_ray.stages.partition import hash_strings
+
+    got = hash_strings(pa.array(["c000000", "c000001", "hello", "", "a"]))
+    assert [hex(int(v)) for v in got] == [
+        "0x21d66f790d54ed8c", "0xc8491d7df4a3eb8e", "0xe9c562c0fdb23244",
+        "0xefd01f60ba992926", "0x82a2a958a9bece5b"]
+    # chunked and sliced arrays hash identically (buffer-offset handling)
+    ch = pa.chunked_array([["c000000"], ["c000001"]])
+    assert (hash_strings(ch) == got[:2]).all()
+    sl = pa.array(["x", "c000000", "c000001"]).slice(1, 2)
+    assert (hash_strings(sl) == got[:2]).all()
+    # near-uniform over 64 partitions for sequential conv-id keys
+    from cwds_jobs_ray.stages.partition import partition_ids
+    ids = pa.array([f"c{i:06d}" for i in range(100_000)])
+    c = np.bincount(partition_ids(ids, 64), minlength=64)
+    assert c.min() > 0.8 * c.mean() and c.max() < 1.2 * c.mean()
+
+
+def test_manifest_rejects_foreign_hash_algo(workdir):
+    m = Manifest.new(2)
+    m.hash_algo = "polars-xxhash-seed42"  # e.g. a pre-pin table
+    m.commit(workdir)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="partition hash"):
+        Manifest.load(workdir)
+
+
+def test_read_table_without_manifest_raises(workdir):
+    import pytest as _pytest
+
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+
+    job = CDCJob(workdir + "/nope", wal_dir="/nonexistent")
+    with _pytest.raises(RuntimeError, match="no manifest"):
+        job.read_table()
