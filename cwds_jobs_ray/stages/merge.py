@@ -24,11 +24,19 @@ the work into two Ray Data stages:
    ``lsn``, LWW-merge with base, persist tombstone winners, write the new
    immutable ``p={i}/v{version}.parquet``, return a one-row stats frame.
 
-Counter algebra (matches pipelines/oracle.py exactly when a duplicate
-redelivery and its original are applied within the same batch):
-``conflict_total = E_deduped - keys_won_by_an_event`` and
-``dedup_total = E_raw - E_deduped`` — both decompose over blocks, which is
-why folded counters on winner rows sum to the exact totals.
+Counter algebra (matches pipelines/oracle.py exactly, including duplicate
+redeliveries split across combine chunks): winner rows carry the lsns of the
+rows folded into them (``folded_lsns``, a list column), so the merge sees the
+complete lsn MULTISET of its partition's raw events and computes
+``dedup = instances - distinct_lsns`` and
+``conflict = distinct_lsns - event_winners (+ committed event rows superseded
+this batch)`` exactly — no reliance on surviving-copy adjacency.
+
+Tie-break: identical ``(ts, lsn)`` rows are verbatim redeliveries; the FIRST
+delivered copy is authoritative (consistent with the cross-batch rule, where
+the replay filter makes later batches' copies no-ops). This matters when
+copies differ after schema projection — e.g. a v1-segment original
+(tool=null) redelivered inside a v2 segment.
 """
 
 from __future__ import annotations
@@ -76,9 +84,18 @@ MERGE_POLICIES = ("lww", "fww")
 
 
 def _winner_positions(starts: np.ndarray, runlen: np.ndarray,
-                      policy: str) -> np.ndarray:
+                      dup: np.ndarray, policy: str) -> np.ndarray:
+    """Winner index per key run over rows lexsorted by (key, ts, lsn).
+
+    lww: the FIRST delivered copy of the maximal (ts, lsn) group — i.e. the
+    last position in the run that is not a verbatim-redelivery copy of its
+    predecessor (``dup``). fww: the first delivered copy of the minimal
+    group, which is simply the run start (stable sort keeps delivery order
+    within equal (ts, lsn)).
+    """
     if policy == "lww":
-        return starts + runlen - 1
+        idx = np.arange(len(dup))
+        return np.maximum.reduceat(np.where(~dup, idx, -1), starts)
     if policy == "fww":
         return starts
     raise ValueError(f"unknown merge policy {policy!r}")
@@ -98,6 +115,12 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
     or be misclassified as a conflict. Skip counts ride to the merge as
     ``op == "_SKIP"`` carrier rows (one per partition per block) so the
     manifest counters stay exact without a side channel.
+
+    Each winner row carries ``folded_lsns`` — the lsns of every other row of
+    its key in this chunk — so the merge can count dedup/conflict exactly
+    from the partition-wide lsn multiset (see module docstring). The lists
+    add O(raw int64 lsns) to the shuffle, dwarfed by the text payload the
+    winner rows already carry.
     """
     wm_arr = None
     if watermarks:
@@ -147,9 +170,7 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
                     "lsn": pa.array(np.full(len(nz), -1, np.int64)),
                     "conv_id": pa.array(np.repeat("", len(nz)), pa.string()),
                     "turn_idx": pa.array(np.full(len(nz), -1, np.int32)),
-                    "dup_folded": pa.array(skips[nz].astype(np.int64)),
-                    "conf_folded": pa.array(np.zeros(len(nz), np.int64)),
-                    "max_lsn_folded": pa.array(np.zeros(len(nz), np.int64)),
+                    "skip_count": pa.array(skips[nz].astype(np.int64)),
                 })
                 keep = ~replayed
                 orig_idx = orig_idx[keep]
@@ -162,7 +183,7 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
         # one lexsort on ints: rows grouped by key (code, turn), ordered by
         # (ts, lsn) within each key-run
         o = np.lexsort((lsn, ts, turn, codes))
-        sc, st, sts, sl = codes[o], turn[o], ts[o], lsn[o]
+        sc, st, sl = codes[o], turn[o], lsn[o]
         newkey = np.empty(len(o), dtype=bool)
         newkey[0] = True
         newkey[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
@@ -171,16 +192,21 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
         dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1])
         starts = np.flatnonzero(newkey)
         runlen = np.diff(np.append(starts, len(o)))
-        dups_per_run = np.add.reduceat(dup.astype(np.int64), starts)
         max_lsn_run = np.maximum.reduceat(sl, starts)
-        winner_pos = _winner_positions(starts, runlen, policy)
+        winner_pos = _winner_positions(starts, runlen, dup, policy)
         winner_idx = orig_idx[o[winner_pos]]
+
+        # folded lsns: every row of the run except the winner, in run order
+        keep = np.ones(len(o), dtype=bool)
+        keep[winner_pos] = False
+        offsets = np.concatenate(
+            [[0], np.cumsum(runlen - 1)]).astype(np.int32)
+        folded = pa.ListArray.from_arrays(pa.array(offsets),
+                                          pa.array(sl[keep], pa.int64()))
 
         winners = batch.take(pa.array(winner_idx))
         winners = winners.append_column("part", pa.array(part[o[winner_pos]]))
-        winners = winners.append_column("dup_folded", pa.array(dups_per_run))
-        winners = winners.append_column(
-            "conf_folded", pa.array(runlen - dups_per_run - 1))
+        winners = winners.append_column("folded_lsns", folded)
         winners = winners.append_column("max_lsn_folded", pa.array(max_lsn_run))
         if carriers is not None:
             winners = pa.concat_tables([winners, carriers],
@@ -193,9 +219,10 @@ def make_combiner(unified_schema: pa.Schema, num_partitions: int,
 def _empty_combined(unified_schema: pa.Schema) -> pa.Table:
     schema = pa.schema(
         list(unified_schema)
-        + [pa.field("part", pa.int64()), pa.field("dup_folded", pa.int64()),
-           pa.field("conf_folded", pa.int64()),
-           pa.field("max_lsn_folded", pa.int64())])
+        + [pa.field("part", pa.int64()),
+           pa.field("folded_lsns", pa.list_(pa.int64())),
+           pa.field("max_lsn_folded", pa.int64()),
+           pa.field("skip_count", pa.int64())])
     return schema.empty_table()
 
 
@@ -240,19 +267,32 @@ def make_partition_merger(
         # replay-skip carriers from the combiner (resume / cross-batch
         # redelivery counts) — the reference's processed-marker dedup
         # (.../NsAuditEventDao.java:97-118 semantics)
-        op_col = group["op"]
-        carrier_mask = pc.equal(op_col, "_SKIP")
-        replay_skipped = int(pc.sum(pc.filter(group["dup_folded"], carrier_mask)
-                                    ).as_py() or 0)
-        group = group.filter(pc.invert(carrier_mask))
+        replay_skipped = 0
+        if "skip_count" in group.column_names:  # absent when no chunk replayed
+            carrier_mask = pc.equal(group["op"], "_SKIP")
+            replay_skipped = int(pc.sum(
+                pc.filter(group["skip_count"], carrier_mask)).as_py() or 0)
+            group = group.filter(pc.invert(carrier_mask))
         # safety net (combiner already filters replays)
         replay = pc.less_equal(group["lsn"], wm)
         if pc.any(replay).as_py():
             replay_skipped += int(pc.sum(pc.cast(replay, pa.int64())).as_py())
             group = group.filter(pc.invert(replay))
 
-        dedup = int(pc.sum(group["dup_folded"]).as_py() or 0)
-        conflict = int(pc.sum(group["conf_folded"]).as_py() or 0)
+        # exact lsn multiset of every raw event routed here this batch:
+        # winner lsns + the lsns folded into them by the combiner chunks.
+        # dedup/conflict derive from it precisely, no matter how verbatim
+        # redeliveries were split across chunks (module docstring algebra).
+        folded_flat = (group["folded_lsns"].combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False).astype(np.int64)
+                       if group.num_rows
+                       and "folded_lsns" in group.column_names
+                       else np.empty(0, np.int64))
+        own_lsns = group["lsn"].to_numpy(zero_copy_only=False)
+        all_inst = np.concatenate([own_lsns, folded_flat])
+        n_events = len(np.unique(all_inst))
+        dedup = len(all_inst) - n_events
+        conflict = 0
         new_wm = int(max(wm, pc.max(group["max_lsn_folded"]).as_py() or 0)) \
             if group.num_rows else wm
 
@@ -270,7 +310,7 @@ def make_partition_merger(
 
         delta = conform_to_schema(group, delta_schema)
         allrows = pa.concat_tables([base, delta])
-        nb, nd = base.num_rows, delta.num_rows
+        nb = base.num_rows
 
         if allrows.num_rows == 0:
             out, live_rows, event_winners = disk_schema.empty_table(), 0, 0
@@ -288,21 +328,19 @@ def make_partition_merger(
             newkey = np.empty(len(o), dtype=bool)
             newkey[0] = True
             newkey[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
-            # merge-level verbatim-redelivery dedup: identical (ts, lsn)
-            # copies that landed in different combine chunks are adjacent
+            # identical (ts, lsn) copies that landed in different combine
+            # chunks are adjacent; the FIRST delivered copy wins the tie
+            # (stable lexsort preserves chunk/delivery order)
             dup = np.zeros(len(o), dtype=bool)
-            dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1]) & (~stored[o][1:])
+            dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1])
             starts = np.flatnonzero(newkey)
             runlen = np.diff(np.append(starts, len(o)))
-            dups_per_run = np.add.reduceat(dup.astype(np.int64), starts)
-            mdups = int(dups_per_run.sum())
-            dedup += mdups
-            n_events = nd - mdups
 
-            winner_pos = _winner_positions(starts, runlen, policy)
+            winner_pos = _winner_positions(starts, runlen, dup, policy)
             winner_o = o[winner_pos]
             w_stored = stored[winner_o]
             event_winners = int((~w_stored).sum())
+            # distinct events that did not win their key this batch
             conflict += n_events - event_winners
             # committed rows that originated from an event (lsn > 0) and
             # were superseded in THIS batch — counted now so cumulative

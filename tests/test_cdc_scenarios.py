@@ -360,3 +360,77 @@ def test_manifest_partition_count_governs_later_runs(workdir):
     m3 = job16.compact(10**9)
     assert m3.num_partitions == 8
     assert job16.read_table_arrow().select(o.final.column_names).equals(o.final)
+
+
+def test_redelivery_split_across_combine_chunks(workdir):
+    """A verbatim redelivery landing in a DIFFERENT combine chunk than its
+    original — with the original folded away as an LWW loser in its own
+    chunk — must still count as dedup (not conflict). Hand-built minimal
+    case: segment A = [X(lsn1), Y(lsn2, newer, same key)], segment B =
+    [copy of X]; combine_batch_size=1 forces one chunk per segment."""
+    base = make_base(WalSpec(seed=7, n_convs=2, turns_per_conv=1, n_events=0))
+    t0 = 1_700_000_100_000_000
+    seg_a = pa.table({
+        "lsn": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["U", "U"]),
+        "conv_id": pa.array(["c000000", "c000000"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["old text", "new text"]),
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([t0, t0 + 10**6], pa.timestamp("us")),
+    })
+    seg_b = seg_a.slice(0, 1)  # verbatim redelivery of X
+    wal_dir = os.path.join(workdir, "wal")
+    os.makedirs(wal_dir)
+    import pyarrow.parquet as pq
+    pq.write_table(seg_a, os.path.join(wal_dir, "segment-00000.parquet"))
+    pq.write_table(seg_b, os.path.join(wal_dir, "segment-00001.parquet"))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+
+    job = CDCJob(os.path.join(workdir, "table"), wal_dir, num_partitions=4,
+                 events_per_batch=10**9, combine_batch_size=1)
+    m = job.run(base_path=base_path)
+    wal = pa.concat_tables([seg_a, seg_b])
+    o = replay(base, wal, 4)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    # oracle: X' is a dedup, X is a conflict (superseded by Y)
+    assert o.dedup_count == 1 and o.conflict_count == 1
+    assert m.total("dedup_count") == 1, "redelivery misclassified as conflict"
+    assert m.total("conflict_count") == 1
+
+
+def test_multichunk_redelivery_counters_match_oracle(workdir):
+    """Synth workload with redeliveries + multi-chunk batches (one chunk per
+    segment): cumulative counters must equal the oracle's exactly."""
+    spec = WalSpec(seed=11, n_convs=20, turns_per_conv=3, n_events=400,
+                   n_segments=8, dup_redelivery_frac=0.2, out_of_order_frac=0.2)
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9,
+                 combine_batch_size=1)
+    m = job.run(base_path=d["base_path"])
+    o = replay(d["base"], d["wal"], 4)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m.total("dedup_count") == o.dedup_count
+    assert m.total("conflict_count") == o.conflict_count
+
+
+def test_v1_original_redelivered_in_v2_segment_keeps_first_copy(workdir):
+    """An event first delivered in a schema-v1 segment (tool=null after
+    projection) and redelivered verbatim inside a v2 segment (tool intact):
+    the FIRST delivered copy is authoritative, matching the oracle's
+    keep='first' and the cross-batch replay rule."""
+    spec = WalSpec(seed=13, n_convs=10, turns_per_conv=2, n_events=200,
+                   n_segments=4, dup_redelivery_frac=0.3,
+                   out_of_order_frac=0.1, schema_v1_segments=2)
+    d, job, m, o = run_and_compare(workdir, spec,
+                                   events_per_batch=10**9)
+    # at least one dup must actually straddle the v1/v2 boundary for this
+    # test to mean anything
+    wal = d["wal"]
+    import pandas as pd
+    df = wal.to_pandas()
+    g = df.groupby("lsn")["tool"].nunique(dropna=False)
+    assert (g > 1).any(), "fixture never exercises the v1/v2 copy divergence"
