@@ -42,6 +42,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # transcript_cdc_replay's oracle SQL is bound to an sf at oracle_sql()
+    # time (the driver checks at sf0.01); align it with our sf_dir
+    import os
+    os.environ["CWDS_ORACLE_SF_DIR"] = sf_dir
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
