@@ -24,6 +24,7 @@ removes uncommitted files.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable
 
 import pandas as pd
@@ -63,6 +64,8 @@ class CDCJob:
         combine_batch_size: int = 65_536,
         slice_group_size: int = 8,
         merge_policy: str = "lww",
+        delta_threshold: float = 0.25,
+        max_delta_files: int = 8,
     ):
         self.table_dir = table_dir
         self.wal_dir = wal_dir
@@ -71,6 +74,11 @@ class CDCJob:
         self.combine_batch_size = combine_batch_size
         self.slice_group_size = slice_group_size
         self.merge_policy = merge_policy
+        # delta-file merge knobs: a batch whose winner rows (plus accumulated
+        # deltas) stay under delta_threshold * base rows writes a delta file
+        # instead of rewriting the partition base (merge-on-read)
+        self.delta_threshold = delta_threshold
+        self.max_delta_files = max_delta_files
 
     # ------------------------------------------------------------------ run
     def run(
@@ -172,6 +180,7 @@ class CDCJob:
                 p.rows_applied = int(r["rows_applied"])
                 p.lsn_watermark = int(r["lsn_watermark"])
                 p.file = r["file"]
+                p.base_file_rows = int(r["base_file_rows"])
         manifest.job_mode = INITIAL_RESUME
         manifest.table_version = 0
         manifest.commit(self.table_dir)
@@ -227,7 +236,13 @@ class CDCJob:
         # never mis-route keys against existing base files
         P = manifest.num_partitions
         watermarks = {i: manifest.part(i).lsn_watermark for i in range(P)}
-        base_files = {i: manifest.part(i).file for i in range(P)}
+        part_meta = {
+            i: {"file": manifest.part(i).file,
+                "delta_files": list(manifest.part(i).delta_files),
+                "delta_rows": manifest.part(i).delta_rows,
+                "base_file_rows": manifest.part(i).base_file_rows}
+            for i in range(P)
+        }
 
         # direct two-stage shuffle (see stages/merge.py rationale): combine
         # tasks emit per-partition slices via num_returns=P; merge tasks
@@ -256,8 +271,10 @@ class CDCJob:
         if n_groups == 1:  # num_returns=1 returns a bare ref, normalize
             slice_refs = [[r] for r in slice_refs]
         merger = make_partition_merger(self.table_dir, version, target,
-                                       watermarks, base_files,
-                                       policy=self.merge_policy)
+                                       watermarks, part_meta,
+                                       policy=self.merge_policy,
+                                       delta_threshold=self.delta_threshold,
+                                       max_delta_files=self.max_delta_files)
         stats_refs = [
             merge_task.remote(p, merger, *[refs[p // G] for refs in slice_refs])
             for p in range(P)
@@ -291,7 +308,15 @@ class CDCJob:
             p.conflict_count += int(r["conflict_count"])
             p.replay_skipped += int(r["replay_skipped"])
             p.lsn_watermark = max(p.lsn_watermark, int(r["lsn_watermark"]))
-            p.file = r["file"]
+            if pd.isna(r["delta_file"]) or r["delta_file"] is None:
+                if r["file"] != p.file:  # base rewritten: deltas folded in
+                    p.file = r["file"]
+                    p.delta_files = []
+                    p.delta_rows = 0
+                p.base_file_rows = int(r["base_file_rows"])
+            else:
+                p.delta_files = p.delta_files + [r["delta_file"]]
+                p.delta_rows += int(r["delta_rows_new"])
         # untouched partitions carry their committed file forward unchanged
         if on_before_commit is not None:
             on_before_commit(new_m)
@@ -338,7 +363,8 @@ class CDCJob:
 
     # ----------------------------------------------------------- compaction
     def compact(self, tombstone_horizon_lsn: int) -> Manifest:
-        """Drop tombstones with lsn <= horizon from every partition.
+        """Fold every partition's delta files into its base and drop
+        tombstones with lsn <= horizon.
 
         Tombstones are persisted so late out-of-order events lose LWW against
         deletes (see stages/merge.py). Once the WAL's disorder horizon has
@@ -347,32 +373,51 @@ class CDCJob:
         compaction has the same exactly-once guarantees as a batch apply.
         """
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq_
 
         manifest = Manifest.load(self.table_dir)
         if manifest is None:
             raise RuntimeError("nothing to compact: no manifest")
         version = manifest.table_version + 1
+        disk = self._disk_schema(manifest)
+        policy = self.merge_policy
 
-        def compact_one(part: int, rel: str, table_dir: str) -> tuple[int, str, int]:
+        def compact_one(part: int, base_rel: str | None, delta_rels: list[str],
+                        table_dir: str) -> tuple[int, str, int, int]:
             import os as _os
 
-            from ..stages.merge import write_atomic
-            t = pq_.read_table(_os.path.join(table_dir, rel))
-            if "op" in t.column_names:
+            import pyarrow.parquet as pq_
+
+            from ..schema import conform_to_schema as _conform
+            from ..stages.merge import (_key_arrays, _key_sort_indices,
+                                        _lww_winner_indices, write_atomic)
+            parts = []
+            for rel in ([base_rel] if base_rel else []) + list(delta_rels):
+                t = _conform(pq_.read_table(_os.path.join(table_dir, rel)),
+                             disk)
+                if t.num_rows and t["op"].null_count == t.num_rows:
+                    t = t.set_column(
+                        t.schema.get_field_index("op"), "op",
+                        pa.array(["B"] * t.num_rows, pa.string()))
+                parts.append(t)
+            t = pa.concat_tables(parts) if parts else disk.empty_table()
+            if t.num_rows:
+                codes, _u, turn, ts, lsn = _key_arrays(t)
+                t = t.take(pa.array(
+                    _lww_winner_indices(codes, turn, ts, lsn, policy)))
                 drop = pc.and_(pc.equal(t["op"], "D"),
                                pc.less_equal(t["lsn"], tombstone_horizon_lsn))
                 t = t.filter(pc.invert(drop))
+                t = t.take(_key_sort_indices(t))
             new_rel = f"p={part}/v{version}.parquet"
             write_atomic(t, _os.path.join(table_dir, new_rel))
-            live = t.num_rows if "op" not in t.column_names else \
-                t.filter(pc.not_equal(t["op"], "D")).num_rows
-            return part, new_rel, live
+            live = t.filter(pc.not_equal(t["op"], "D")).num_rows
+            return part, new_rel, live, t.num_rows
 
         task = ray.remote(compact_one)
-        refs = [task.remote(i, manifest.part(i).file, self.table_dir)
+        refs = [task.remote(i, manifest.part(i).file,
+                            list(manifest.part(i).delta_files), self.table_dir)
                 for i in range(manifest.num_partitions)
-                if manifest.part(i).file]
+                if manifest.part(i).file or manifest.part(i).delta_files]
         new_m = Manifest(
             job_mode=manifest.job_mode,
             table_version=version,
@@ -384,9 +429,12 @@ class CDCJob:
             applied_through_lsn=manifest.applied_through_lsn,
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
-        for part, rel, live in ray.get(refs):
+        for part, rel, live, total in ray.get(refs):
             p = new_m.part(part)
             p.file = rel
+            p.delta_files = []
+            p.delta_rows = 0
+            p.base_file_rows = total
             p.rows_applied = live
         new_m.commit(self.table_dir)
         new_m.gc_uncommitted(self.table_dir)
@@ -400,29 +448,120 @@ class CDCJob:
                 f"no manifest at {self.table_dir}: run initial_load first")
         return manifest
 
+    def _disk_schema(self, manifest: Manifest) -> pa.Schema:
+        from ..schema import schema_from_b64, stored_schema
+        base = (schema_from_b64(manifest.table_schema_b64)
+                if manifest.table_schema_b64 else TRANSCRIPT_SCHEMA)
+        return stored_schema(base)
+
+    def verify_committed_files(self, manifest: Manifest | None = None) -> Manifest:
+        """Verify-on-open sentinel (reference: a new index must prove it
+        carries its mapping before being trusted, CUSTOM_CHECK at
+        /root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/elastic/ElasticsearchService.java:93-108):
+        every committed file must have a readable parquet footer whose schema
+        carries the key/order columns with the committed types and no foreign
+        columns — a truncated or alien file fails HERE, not as a late read
+        error deep in a query."""
+        import pyarrow.parquet as pq
+
+        manifest = manifest or self._load_manifest_or_raise()
+        expected = self._disk_schema(manifest)
+        known = set(expected.names)
+        for rel in sorted(manifest.committed_files()):
+            path = os.path.join(self.table_dir, rel)
+            try:
+                got = pq.ParquetFile(path).schema_arrow
+            except Exception as e:  # noqa: BLE001 — any footer failure
+                raise RuntimeError(
+                    f"committed file {rel} is unreadable or corrupt: {e}"
+                ) from e
+            for c in ("conv_id", "turn_idx", "ts", "lsn"):
+                if c not in got.names:
+                    raise RuntimeError(
+                        f"committed file {rel} lacks key column {c!r} — "
+                        "foreign or corrupt file behind the manifest")
+                gt, et = got.field(c).type, expected.field(c).type
+                # files written before a type widening carry the narrower
+                # type; legal iff it promotes cleanly to the committed type
+                if not gt.equals(et) and not pa.unify_schemas(
+                        [pa.schema([got.field(c)]),
+                         pa.schema([expected.field(c)])],
+                        promote_options="permissive").field(0).type.equals(et):
+                    raise RuntimeError(
+                        f"committed file {rel} key column {c!r} has type "
+                        f"{gt}, incompatible with committed {et}")
+            extra = [c for c in got.names if c not in known]
+            if extra:
+                raise RuntimeError(
+                    f"committed file {rel} carries columns {extra} unknown to "
+                    "the committed schema")
+        return manifest
+
     def read_table(self, columns: list[str] | None = None) -> ray.data.Dataset:
-        """Dataset over the committed partition files, tombstones filtered at
-        the scan (row-group predicate pushdown on ``op``)."""
+        """Dataset over the committed live table.
+
+        Partitions without delta files are plain column-pruned parquet scans
+        with the tombstone filter pushed down; partitions with deltas (or
+        whose base predates a schema evolution) go through one
+        ``merge_on_read`` task each — partition-local LWW, nothing shuffled.
+        """
         import pyarrow.compute as pc
-        manifest = self._load_manifest_or_raise()
-        files = [f"{self.table_dir}/{f}" for f in sorted(manifest.committed_files())]
+        import pyarrow.parquet as pq
+
+        from ..stages.merge import merge_on_read
+
+        manifest = self.verify_committed_files()
         cols = columns or PUBLIC_COLS
-        return ray.data.read_parquet(files, columns=cols,
-                                     filter=pc.field("op") != "D")
+        full = self._disk_schema(manifest)
+        plain: list[str] = []
+        merged: list[tuple[str | None, list[str]]] = []
+        for i in range(manifest.num_partitions):
+            p = manifest.part(i)
+            if not p.file and not p.delta_files:
+                continue
+            if p.delta_files:
+                merged.append((p.file, list(p.delta_files)))
+                continue
+            names = pq.ParquetFile(
+                os.path.join(self.table_dir, p.file)).schema_arrow.names
+            if all(c in names for c in cols):
+                plain.append(f"{self.table_dir}/{p.file}")
+            else:  # pre-evolution base: needs null back-fill
+                merged.append((p.file, []))
+        parts: list[ray.data.Dataset] = []
+        if plain:
+            parts.append(ray.data.read_parquet(plain, columns=cols,
+                                               filter=pc.field("op") != "D"))
+        if merged:
+            task = ray.remote(merge_on_read)
+            refs = [task.remote(self.table_dir, f, d, full, cols,
+                                self.merge_policy) for f, d in merged]
+            parts.append(ray.data.from_arrow_refs(refs))
+        if not parts:
+            return ray.data.from_arrow(
+                pa.schema([full.field(c) for c in cols]).empty_table())
+        ds = parts[0]
+        for q in parts[1:]:
+            ds = ds.union(q)
+        return ds
 
     def read_table_arrow(self) -> pa.Table:
         """Driver-side materialization for tests/small tables only."""
-        import pyarrow.parquet as pq
-        import pyarrow.compute as pc
-        manifest = self._load_manifest_or_raise()
-        tables = [pq.read_table(f"{self.table_dir}/{f}")
-                  for f in sorted(manifest.committed_files())]
-        tables = [t for t in tables if t.num_rows] or tables[:1]
+        from ..stages.merge import merge_on_read
+
+        manifest = self.verify_committed_files()
+        full = self._disk_schema(manifest)
+        cols = [f.name for f in full if f.name != "op"]
+        tables = []
+        for i in range(manifest.num_partitions):
+            p = manifest.part(i)
+            if p.file or p.delta_files:
+                tables.append(merge_on_read(self.table_dir, p.file,
+                                            list(p.delta_files), full, cols,
+                                            self.merge_policy))
         if not tables:
             return TRANSCRIPT_SCHEMA.empty_table()
-        out = pa.concat_tables(tables, promote_options="permissive")
-        if "op" in out.column_names:
-            out = out.filter(pc.field("op") != "D").drop_columns(["op"])
+        out = pa.concat_tables(tables)
         return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 

@@ -53,8 +53,13 @@ from ..schema import conform_to_schema
 
 STATS_COLUMNS = [
     "part", "rows_applied", "dedup_count", "conflict_count",
-    "replay_skipped", "lsn_watermark", "file",
+    "replay_skipped", "lsn_watermark", "file", "delta_file",
+    "delta_rows_new", "base_file_rows",
 ]
+
+# merge-on-read key/order columns: enough to decide every LWW winner and
+# count live rows without touching the payload
+MERGE_KEY_COLS = ["conv_id", "turn_idx", "ts", "lsn", "op"]
 
 
 def write_atomic(table: pa.Table, final_path: str) -> None:
@@ -99,6 +104,46 @@ def _winner_positions(starts: np.ndarray, runlen: np.ndarray,
     if policy == "fww":
         return starts
     raise ValueError(f"unknown merge policy {policy!r}")
+
+
+def _key_arrays(table: pa.Table):
+    """(codes, uniq, turn, ts, lsn) integer views of a table's key/order
+    columns — the string payload is dictionary-encoded once."""
+    from .partition import dict_encode
+
+    codes, uniq = dict_encode(table["conv_id"])
+    turn = table["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = table["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+    lsn = table["lsn"].to_numpy(zero_copy_only=False)
+    return codes, uniq, turn, ts, lsn
+
+
+def _lww_winner_indices(codes, turn, ts, lsn, policy: str) -> np.ndarray:
+    """Index (into input row order) of each key's winner under ``policy``.
+    Stable lexsort keeps delivery order within identical (ts, lsn), so the
+    first delivered copy wins ties (see module docstring)."""
+    o = np.lexsort((lsn, ts, turn, codes))
+    sc, st, sl = codes[o], turn[o], lsn[o]
+    newkey = np.empty(len(o), dtype=bool)
+    newkey[0] = True
+    newkey[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
+    dup = np.zeros(len(o), dtype=bool)
+    dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1])
+    starts = np.flatnonzero(newkey)
+    runlen = np.diff(np.append(starts, len(o)))
+    return o[_winner_positions(starts, runlen, dup, policy)]
+
+
+def _key_sort_indices(table: pa.Table) -> pa.Array:
+    """Final output order (conv_id, turn_idx): rank the small conv_id
+    dictionary, never sort the full string column."""
+    from .partition import dict_encode
+
+    codes, uniq = dict_encode(table["conv_id"])
+    turn = table["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_u = np.empty(len(uniq), dtype=np.int64)
+    rank_u[np.argsort(np.asarray(uniq))] = np.arange(len(uniq))
+    return pa.array(np.lexsort((turn, rank_u[codes])))
 
 
 def make_combiner(unified_schema: pa.Schema, num_partitions: int,
@@ -231,14 +276,27 @@ def make_partition_merger(
     version: int,
     target_schema: pa.Schema,
     watermarks: dict[int, int],
-    base_files: dict[int, str | None],
+    part_meta: dict[int, dict],
     policy: str = "lww",
+    delta_threshold: float = 0.25,
+    max_delta_files: int = 8,
 ):
-    """Returns the per-partition merge fn for ``groupby("part").map_groups``.
+    """Returns the per-partition merge fn (one call per partition per batch).
 
-    Idempotent & retry-safe: pure function of (immutable base file @ version
-    v-1, delta group); output lands at a deterministic immutable path via
-    temp-file + ``os.replace``.
+    Idempotent & retry-safe: pure function of (immutable committed files @
+    version v-1, delta group); output lands at a deterministic immutable path
+    via temp-file + ``os.replace``.
+
+    **Write amplification is bounded to O(delta)**: when the incoming winner
+    set (plus already-accumulated deltas) is below ``delta_threshold`` of the
+    base file, the batch writes only a per-partition DELTA file
+    (``p={i}/d{version}.parquet``) holding this batch's winning rows; the
+    base is left untouched and readers LWW-merge base+deltas on read. Only
+    the base's *key/order columns* are read for winner accounting — never the
+    payload. Once deltas grow past the threshold (or ``max_delta_files``),
+    the batch folds everything into a new base (size-tiered compaction).
+    ``part_meta[part]`` carries ``{file, delta_files, delta_rows,
+    base_file_rows}`` from the committed manifest.
 
     Stored partition files persist tombstones (op == "D") with their
     (ts, lsn): an out-of-order event arriving in a LATER batch that is older
@@ -247,9 +305,10 @@ def make_partition_merger(
 
     Conflict counting composes exactly across batches: an event is counted
     the moment it is superseded — either losing within its own batch, or
-    later, when the committed row it produced (lsn > 0) is overwritten. The
-    cumulative total therefore equals the single-pass oracle's
-    ``E_deduped - final_keys_won_by_an_event`` regardless of batching.
+    later, when the committed PRE-BATCH WINNER row it produced (lsn > 0) is
+    overwritten. The cumulative total therefore equals the single-pass
+    oracle's ``E_deduped - final_keys_won_by_an_event`` regardless of
+    batching.
     """
     import pyarrow.compute as pc
 
@@ -257,10 +316,9 @@ def make_partition_merger(
 
     disk_schema = stored_schema(target_schema)
     delta_schema = disk_schema  # op + payload + lsn, same column set
+    kschema = pa.schema([disk_schema.field(c) for c in MERGE_KEY_COLS])
 
     def merge(group: pa.Table) -> pd.DataFrame:
-        from .partition import dict_encode
-
         part = int(group["part"][0].as_py())
         wm = int(watermarks.get(part, 0))
 
@@ -296,73 +354,101 @@ def make_partition_merger(
         new_wm = int(max(wm, pc.max(group["max_lsn_folded"]).as_py() or 0)) \
             if group.num_rows else wm
 
-        base_rel = base_files.get(part)
-        if base_rel:
-            base = pq.read_table(os.path.join(table_dir, base_rel))
-            base = conform_to_schema(base, disk_schema)
-            if base["op"].null_count == base.num_rows:
-                # v0 snapshot files predate the op column
-                base = base.set_column(
-                    base.schema.get_field_index("op"), "op",
-                    pa.array(np.repeat("B", base.num_rows), pa.string()))
-        else:
-            base = disk_schema.empty_table()
+        meta = part_meta.get(part) or {}
+        base_rel = meta.get("file")
+        delta_rels: list[str] = list(meta.get("delta_files") or [])
+        stored_rels = ([base_rel] if base_rel else []) + delta_rels
 
         delta = conform_to_schema(group, delta_schema)
-        allrows = pa.concat_tables([base, delta])
-        nb = base.num_rows
+        nd = delta.num_rows
+
+        write_delta = (
+            base_rel is not None
+            and len(delta_rels) < max_delta_files
+            and nd + int(meta.get("delta_rows", 0))
+            < delta_threshold * int(meta.get("base_file_rows", 0))
+        )
+
+        # stored state: full rows for a base rewrite; key/order columns only
+        # for a delta write (payload bytes never leave disk)
+        read_schema = kschema if write_delta else disk_schema
+        stored_parts = []
+        for rel in stored_rels:
+            f = pq.ParquetFile(os.path.join(table_dir, rel))
+            cols = ([c for c in MERGE_KEY_COLS if c in f.schema_arrow.names]
+                    if write_delta else None)
+            t = f.read(columns=cols)
+            t = conform_to_schema(t, read_schema)
+            if t["op"].null_count == t.num_rows and t.num_rows:
+                # v0 snapshot files predate the op column
+                t = t.set_column(
+                    t.schema.get_field_index("op"), "op",
+                    pa.array(np.repeat("B", t.num_rows), pa.string()))
+            stored_parts.append(t)
+        stored_tbl = (pa.concat_tables(stored_parts) if stored_parts
+                      else read_schema.empty_table())
+        nb = stored_tbl.num_rows
+        allrows = pa.concat_tables(
+            [stored_tbl, delta.select(MERGE_KEY_COLS) if write_delta
+             else delta])
+
+        new_base_rel, new_delta_rel, delta_rows_new = base_rel, None, 0
+        base_file_rows = int(meta.get("base_file_rows", 0))
 
         if allrows.num_rows == 0:
-            out, live_rows, event_winners = disk_schema.empty_table(), 0, 0
+            live_rows = 0
+            if not write_delta:
+                new_base_rel = f"p={part}/v{version}.parquet"
+                write_atomic(disk_schema.empty_table(),
+                             os.path.join(table_dir, new_base_rel))
+                base_file_rows = 0
         else:
-            # integer-run reduction (same shape as the combiner): sort ints,
-            # find key runs, take winner rows once
-            codes, uniq = dict_encode(allrows["conv_id"])
-            turn = allrows["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ts = allrows["ts"].to_numpy(zero_copy_only=False).view(np.int64)
-            lsn = allrows["lsn"].to_numpy(zero_copy_only=False)
+            codes, uniq, turn, ts, lsn = _key_arrays(allrows)
             stored = np.arange(allrows.num_rows) < nb
-
-            o = np.lexsort((lsn, ts, turn, codes))
-            sc, st, sl = codes[o], turn[o], lsn[o]
-            newkey = np.empty(len(o), dtype=bool)
-            newkey[0] = True
-            newkey[1:] = (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])
-            # identical (ts, lsn) copies that landed in different combine
-            # chunks are adjacent; the FIRST delivered copy wins the tie
-            # (stable lexsort preserves chunk/delivery order)
-            dup = np.zeros(len(o), dtype=bool)
-            dup[1:] = (~newkey[1:]) & (sl[1:] == sl[:-1])
-            starts = np.flatnonzero(newkey)
-            runlen = np.diff(np.append(starts, len(o)))
-
-            winner_pos = _winner_positions(starts, runlen, dup, policy)
-            winner_o = o[winner_pos]
+            winner_o = _lww_winner_indices(codes, turn, ts, lsn, policy)
             w_stored = stored[winner_o]
             event_winners = int((~w_stored).sum())
             # distinct events that did not win their key this batch
             conflict += n_events - event_winners
-            # committed rows that originated from an event (lsn > 0) and
-            # were superseded in THIS batch — counted now so cumulative
-            # totals compose across batching (see module docstring)
-            stored_ev_total = int((lsn[:nb] > 0).sum())
+            # committed PRE-BATCH WINNER rows that originated from an event
+            # (lsn > 0) and were superseded in THIS batch — counted now so
+            # cumulative totals compose across batching. With delta files the
+            # stored state holds superseded rows too (already counted in
+            # their own batch), so restrict to the stored state's winners.
+            if nb and len(stored_rels) > 1:
+                pre_w = np.zeros(nb, dtype=bool)
+                pre_w[_lww_winner_indices(codes[:nb], turn[:nb], ts[:nb],
+                                          lsn[:nb], policy)] = True
+            else:
+                pre_w = np.ones(nb, dtype=bool)  # a lone base is all winners
+            stored_ev_total = int((lsn[:nb] > 0)[pre_w].sum())
             stored_ev_winners = int((w_stored & (lsn[winner_o] > 0)).sum())
             conflict += stored_ev_total - stored_ev_winners
 
-            # final order: (conv_id, turn_idx) — rank the small dictionary,
-            # not the full string column
-            rank_u = np.empty(len(uniq), dtype=np.int64)
-            rank_u[np.argsort(np.asarray(uniq))] = np.arange(len(uniq))
-            final = winner_o[np.lexsort((turn[winner_o], rank_u[codes[winner_o]]))]
-            out = allrows.take(pa.array(final))
-            live_rows = int(pc.sum(pc.cast(pc.not_equal(out["op"], "D"),
+            win_ops = allrows["op"].take(pa.array(winner_o))
+            live_rows = int(pc.sum(pc.cast(pc.not_equal(win_ops, "D"),
                                            pa.int64())).as_py() or 0)
 
-        rel = f"p={part}/v{version}.parquet"
-        write_atomic(out, os.path.join(table_dir, rel))
+            if write_delta:
+                # persist ONLY this batch's winning rows; base untouched
+                d_idx = winner_o[~w_stored] - nb
+                if len(d_idx):
+                    out = delta.take(pa.array(d_idx))
+                    out = out.take(_key_sort_indices(out))
+                    new_delta_rel = f"p={part}/d{version}.parquet"
+                    write_atomic(out, os.path.join(table_dir, new_delta_rel))
+                    delta_rows_new = out.num_rows
+            else:
+                # fold stored state + delta into a fresh base (size-tiered)
+                out = allrows.take(pa.array(winner_o))
+                out = out.take(_key_sort_indices(out))
+                new_base_rel = f"p={part}/v{version}.parquet"
+                write_atomic(out, os.path.join(table_dir, new_base_rel))
+                base_file_rows = out.num_rows
 
         return pd.DataFrame(
-            [[part, live_rows, dedup, conflict, replay_skipped, new_wm, rel]],
+            [[part, live_rows, dedup, conflict, replay_skipped, new_wm,
+              new_base_rel, new_delta_rel, delta_rows_new, base_file_rows]],
             columns=STATS_COLUMNS,
         )
 
@@ -433,6 +519,41 @@ def merge_partition_slices(part: int, merger, *slices) -> pd.DataFrame:
     return merger(pa.concat_tables(tables, promote_options="permissive"))
 
 
+def merge_on_read(table_dir: str, base_rel: str | None, delta_rels: list[str],
+                  full_schema: pa.Schema, columns: list[str] | None = None,
+                  policy: str = "lww") -> pa.Table:
+    """LWW-merged LIVE view of one partition's committed base+delta files.
+
+    Reads only ``columns`` ∪ the key/order columns, merges per key (first
+    delivered copy wins ties, same rule as the write path), drops tombstone
+    winners, returns ``columns`` in (conv_id, turn_idx) order. This is the
+    read half of the delta-file write path: partition-local, payload read
+    once, nothing shuffled.
+    """
+    import pyarrow.compute as pc
+
+    out_cols = columns or [f.name for f in full_schema if f.name != "op"]
+    need = list(dict.fromkeys(out_cols + MERGE_KEY_COLS))
+    sub = pa.schema([full_schema.field(c) for c in need])
+    parts = []
+    for rel in ([base_rel] if base_rel else []) + list(delta_rels):
+        f = pq.ParquetFile(os.path.join(table_dir, rel))
+        cols = [c for c in need if c in f.schema_arrow.names]
+        t = conform_to_schema(f.read(columns=cols), sub)
+        if t.num_rows and t["op"].null_count == t.num_rows:
+            t = t.set_column(t.schema.get_field_index("op"), "op",
+                             pa.array(np.repeat("B", t.num_rows), pa.string()))
+        parts.append(t)
+    allrows = pa.concat_tables(parts) if parts else sub.empty_table()
+    if allrows.num_rows:
+        codes, uniq, turn, ts, lsn = _key_arrays(allrows)
+        winner_o = _lww_winner_indices(codes, turn, ts, lsn, policy)
+        allrows = allrows.take(pa.array(winner_o))
+    live = allrows.filter(pc.not_equal(allrows["op"], "D"))
+    live = live.take(_key_sort_indices(live))
+    return live.select(out_cols)
+
+
 def snapshot_split(path: str, rg_start: int, rg_end: int,
                    target_schema: pa.Schema, num_partitions: int,
                    group_size: int = 8):
@@ -480,15 +601,7 @@ def snapshot_write_partition(part: int, table_dir: str, version: int,
     if not tables:
         return pd.DataFrame(columns=STATS_COLUMNS)
     t = pa.concat_tables(tables, promote_options="permissive")
-
-    from .partition import dict_encode
-
-    codes, uniq = dict_encode(t["conv_id"])
-    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rank_u = np.empty(len(uniq), dtype=np.int64)
-    rank_u[np.argsort(np.asarray(uniq))] = np.arange(len(uniq))
-    order = np.lexsort((turn, rank_u[codes]))
-    t = t.take(pa.array(order))
+    t = t.take(_key_sort_indices(t))
     out = conform_to_schema(t, disk_schema)
     out = out.set_column(out.schema.get_field_index("op"), "op",
                          pa.array(np.repeat("B", out.num_rows), pa.string()))
@@ -501,7 +614,8 @@ def snapshot_write_partition(part: int, table_dir: str, version: int,
     lsns = out["lsn"].to_numpy(zero_copy_only=False)
     wm = int(lsns.max()) if len(lsns) else 0
     return pd.DataFrame(
-        [[part, out.num_rows, 0, 0, 0, max(wm, 0), rel]],
+        [[part, out.num_rows, 0, 0, 0, max(wm, 0), rel, None, 0,
+          out.num_rows]],
         columns=STATS_COLUMNS)
 
 

@@ -29,11 +29,17 @@ from dataclasses import asdict, dataclass, field
 @dataclass
 class PartitionState:
     lsn_watermark: int = 0
-    rows_applied: int = 0      # live rows in the committed partition file
+    rows_applied: int = 0      # live rows in the committed partition state
     dedup_count: int = 0       # cumulative exact duplicate redeliveries dropped
     conflict_count: int = 0    # cumulative LWW losers (older event superseded)
     replay_skipped: int = 0    # cumulative rows skipped as lsn <= watermark
-    file: str | None = None    # committed parquet path relative to table_dir
+    file: str | None = None    # committed BASE parquet path relative to table_dir
+    # merge-on-read delta files (ordered by version). A batch whose winner set
+    # is small relative to the base writes one of these instead of rewriting
+    # the whole base — bounding per-batch write amplification to O(delta).
+    delta_files: list[str] = field(default_factory=list)
+    delta_rows: int = 0        # total rows across delta_files
+    base_file_rows: int = 0    # total rows in `file` (incl. tombstones)
 
 
 # Job modes — the reference's mode state machine
@@ -111,7 +117,10 @@ class Manifest:
         return self.partitions[str(i)]
 
     def committed_files(self) -> set[str]:
-        return {p.file for p in self.partitions.values() if p.file}
+        out = {p.file for p in self.partitions.values() if p.file}
+        for p in self.partitions.values():
+            out.update(p.delta_files)
+        return out
 
     def total(self, field_name: str) -> int:
         return sum(getattr(p, field_name) for p in self.partitions.values())
