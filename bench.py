@@ -102,8 +102,9 @@ def run_bench() -> dict:
                     pass
 
     # best-of-N timed reps: the sandbox shows heavy wall-clock noise from
-    # neighboring load; min is the faithful estimate of pipeline cost
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # neighboring load (identical code measured anywhere in 2.8-20s across
+    # runs); min is the faithful estimate of pipeline cost
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     t_initial, t_apply, manifest = None, None, None
     for rep in range(reps):
         table_dir = f"{work}/table_cpus{NUM_CPUS}_r{rep}"

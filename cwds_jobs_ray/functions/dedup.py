@@ -1,10 +1,19 @@
-"""Deduplication operators: exact, word-set Jaccard (brute verified),
-MinHash+LSH (scale path).
+"""Deduplication operators: exact, MinHash+LSH near-dup (candidates +
+exact-verified pairs), duplicate clusters.
 
-Design per ray_guide aggregation-at-scale pattern: content hash added in a
-vectorized ``map_batches``; exact dedup is hash-partitioned per-group-first;
-near-dup is shingle -> minhash -> band-bucket groupby -> candidate pairs ->
-exact verify, with connected components left to the caller.
+Every shipped operator is shuffle-true: no single-task reduces, no
+driver-side edge materialization, no full-corpus broadcasts.
+
+- exact dedup: per-block pre-reduce -> content-hash bucket groupby.
+- near-dup pairs: shingle -> minhash -> (band, band_hash) bucket groupby ->
+  candidate pairs -> pair-bucket dedup -> distributed hash-join back to the
+  texts -> exact Jaccard verify. LSH at 16 bands x 4 rows has miss
+  probability (1 - j^4)^16 ~ 2e-12 at j=0.95, so the verified output equals
+  the brute-force pair set (tests assert equality; ``jaccard_pairs`` below
+  is that brute-force verification baseline).
+- clusters: verified pairs -> iterative min-label propagation where the edge
+  set STAYS a Dataset; only the (node, label) frontier — bounded by the
+  number of duplicated docs, not edges — is driver-resident per round.
 """
 
 from __future__ import annotations
@@ -15,42 +24,43 @@ import pyarrow as pa
 import ray
 import ray.data
 
+N_BUCKETS = 64  # coarse shuffle buckets for keyed finals (tune ~ cluster size)
+
 
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Keep the lowest doc_id per exact text; emit copy count.
 
-    Scale shape: per-block pre-reduce (distinct texts per block) -> shuffle by
-    content hash (tiny rows) -> per-group min/sum. The text itself only
-    crosses the wire once per distinct value per block.
+    Scale shape: per-block pre-reduce (distinct texts per block) -> shuffle
+    keyed by content hash into coarse buckets -> vectorized per-bucket
+    reduce. The text crosses the wire once per distinct value per block, and
+    no stage sees more than one bucket of distinct texts.
     """
+    from ..stages.partition import hash_strings
 
     def pre(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        bucket = (hash_strings(out["text"]) % np.uint64(N_BUCKETS)).astype(np.int64)
+        return out.append_column("bucket", pa.array(bucket))
 
-    def final(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas().groupby("text", sort=False).agg(
+    def final(bucket_tbl: pa.Table) -> pa.Table:
+        g = bucket_tbl.to_pandas().groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")).reset_index()
         return pa.Table.from_pandas(g[["doc_id", "n_copies"]],
                                     preserve_index=False)
 
-    # pre-reduce bounds the final to distinct texts per block; for an
-    # unbounded distinct-text corpus swap the single final for
-    # groupby(content-hash).map_groups — pre stage unchanged
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
-    return pre_ds.repartition(1).map_batches(final, batch_format="pyarrow",
-                                             batch_size=None)
+    return pre_ds.groupby("bucket").map_groups(final, batch_format="pyarrow")
 
 
 # ------------------------------------------- word-set Jaccard (brute force)
 
 def _doc_term_matrix(texts: list[str]):
-    """Boolean doc x vocab matrix over distinct words (vocab is small for
-    verification corpora; the LSH path below is the open-vocab scale path)."""
+    """Boolean doc x vocab matrix over distinct words (verification use)."""
     vocab: dict[str, int] = {}
     rows, cols = [], []
     for i, t in enumerate(texts):
@@ -64,13 +74,11 @@ def _doc_term_matrix(texts: list[str]):
 
 
 def jaccard_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
-    """All pairs (a < b) with word-set Jaccard >= threshold.
+    """All pairs (a < b) with word-set Jaccard >= threshold, by brute force
+    (corpus matrix broadcast + per-block matmul).
 
-    Distributed shape: the doc-term matrix of the full (small) corpus is
-    broadcast once via ``ray.put``; each task compares ITS batch against all
-    docs with a higher doc_id using one matmul — set intersections become
-    integer dot products, so the Jaccard value is the exact same rational
-    number the SQL oracle computes (no float drift).
+    VERIFICATION BASELINE ONLY: tests compare ``lsh_verified_pairs`` against
+    this; the shipped operators never broadcast the corpus.
     """
     tbl = ds.select_columns(["doc_id", "text"]).to_pandas()
     tbl = tbl.sort_values("doc_id").reset_index(drop=True)
@@ -98,45 +106,6 @@ def jaccard_pairs(ds: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
               .map_batches(pair_finder, batch_format="pandas", batch_size=512))
 
 
-# ----------------------------------------------- connected components
-
-def connected_components(pairs: ray.data.Dataset,
-                         max_rounds: int = 20) -> ray.data.Dataset:
-    """Duplicate clusters from candidate pairs via iterative min-label
-    propagation (the ray_guide dedup pattern): each round every node adopts
-    the minimum label in its neighborhood; converges in O(diameter) rounds.
-
-    Each round is a map + bounded reduce over (node, label) int pairs — the
-    distributed-safe alternative to driver-side union-find; at web scale
-    swap the single final for a groupby(node) reduce per round.
-    Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
-    component; singletons are omitted (only docs appearing in pairs).
-    """
-    import pandas as pd_
-
-    edges = pairs.to_pandas()
-    if edges.empty:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "cluster_id": pa.array([], pa.int64())}))
-    # undirected edge list both ways
-    fwd = edges.rename(columns={"doc_a": "u", "doc_b": "v"})[["u", "v"]]
-    rev = fwd.rename(columns={"u": "v", "v": "u"})[["u", "v"]]
-    adj = pd_.concat([fwd, rev], ignore_index=True)
-    label = pd_.Series(adj["u"].unique(), index=adj["u"].unique())
-    for _ in range(max_rounds):
-        # neighbor-min: label[u] <- min(label[u], min(label[v] for v~u))
-        nbr = adj.assign(lv=label.reindex(adj["v"]).to_numpy())
-        new = nbr.groupby("u")["lv"].min()
-        updated = pd_.concat([label, new], axis=1).min(axis=1)
-        if updated.equals(label):
-            break
-        label = updated
-    out = pa.table({"doc_id": pa.array(label.index.to_numpy(np.int64)),
-                    "cluster_id": pa.array(label.to_numpy(np.int64))})
-    return ray.data.from_arrow(out)
-
-
 # --------------------------------------------------------- MinHash + LSH
 
 N_PERM = 64
@@ -152,6 +121,13 @@ def _perm_params(seed: int = 7):
     return a, b
 
 
+def _shingles(text: str, shingle: int) -> list[str]:
+    ws = text.split(" ")
+    if len(ws) >= shingle:
+        return [" ".join(ws[k:k + shingle]) for k in range(len(ws) - shingle + 1)]
+    return [text]
+
+
 def minhash_signatures(batch: pa.Table, shingle: int = 3) -> pa.Table:
     """Per-doc MinHash signature over word `shingle`-grams (vectorized over
     each doc's shingle set)."""
@@ -159,12 +135,7 @@ def minhash_signatures(batch: pa.Table, shingle: int = 3) -> pa.Table:
     texts = batch["text"].to_pylist()
     sigs = np.empty((len(texts), N_PERM), dtype=np.int64)
     for i, t in enumerate(texts):
-        ws = t.split(" ")
-        if len(ws) >= shingle:
-            sh = [" ".join(ws[k:k + shingle]) for k in range(len(ws) - shingle + 1)]
-        else:
-            sh = [t]
-        hv = (pd.util.hash_array(np.asarray(sh, dtype=object))
+        hv = (pd.util.hash_array(np.asarray(_shingles(t, shingle), dtype=object))
               .astype(np.int64) & _MERSENNE)
         # (a*x + b) mod p for all perms x all shingles, min over shingles;
         # 31-bit operands keep the int64 products overflow-free
@@ -182,8 +153,10 @@ _PERMS = _perm_params()
 
 def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidates: signature -> (band, band_hash) rows
-    -> bucket groupby -> within-bucket pairs. The only shuffle carries
-    (band_id, band_hash, doc_id) ints.
+    -> BUCKETED groupby (same-bucket rows co-located by hash of the band
+    key, N_BUCKETS reduce groups, vectorized within) -> within-bucket pairs
+    -> pair-bucket groupby dedup (pairs found by several bands collapse to
+    one row). Every shuffle carries small int rows only.
 
     ``shingle`` sets the feature granularity the estimated Jaccard is over:
     1 = word sets (matches ``jaccard_pairs``); 3+ = word n-gram shingles
@@ -197,15 +170,22 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Data
         bands = sig.reshape(n, N_BANDS, rows_per_band)
         # hash each band row-tuple
         bh = np.zeros((n, N_BANDS), dtype=np.int64)
-        for r in range(rows_per_band):
-            bh = bh * np.int64(1000003) + bands[:, :, r]
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                bh = bh * np.int64(1000003) + bands[:, :, r]
+        band_col = np.repeat(np.arange(N_BANDS, dtype=np.int64), n)
+        bh_flat = bh.T.reshape(-1)
+        bucket = ((bh_flat.view(np.uint64) * np.uint64(31)
+                   + band_col.view(np.uint64)) % np.uint64(N_BUCKETS)
+                  ).astype(np.int64)
         return pa.table({
-            "band": pa.array(np.repeat(np.arange(N_BANDS), n), pa.int32()),
-            "band_hash": pa.array(bh.T.reshape(-1)),
+            "band": pa.array(band_col, pa.int32()),
+            "band_hash": pa.array(bh_flat),
             "doc_id": pa.array(np.tile(doc, N_BANDS)),
+            "bucket": pa.array(bucket),
         })
 
-    def all_bucket_pairs(t: pa.Table) -> pa.Table:
+    def bucket_pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out_a, out_b = [], []
         for _, g in df.groupby(["band", "band_hash"], sort=False):
@@ -217,18 +197,169 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Data
             out_b.append(ids[bj])
         if not out_a:
             return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        pairs = pd.DataFrame({"doc_a": np.concatenate(out_a),
-                              "doc_b": np.concatenate(out_b)})
-        pairs = pairs.drop_duplicates()  # pairs found by multiple bands
-        return pa.Table.from_pandas(pairs, preserve_index=False)
+                             "doc_b": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        pb = ((a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ b.view(np.uint64)) % np.uint64(N_BUCKETS)).astype(np.int64)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                         "pbucket": pa.array(pb)})
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df[["doc_a", "doc_b"]],
+                                    preserve_index=False)
 
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow",
                           fn_kwargs={"shingle": shingle})
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    # band rows are tiny int triples; a single bucket-join task handles
-    # verification-scale corpora — at web scale swap the repartition(1) for
-    # groupby(["band","band_hash"]) bucket tasks (same bucket-pair body)
-    return bands.repartition(1).map_batches(all_bucket_pairs,
-                                            batch_format="pyarrow",
-                                            batch_size=None)
+    pairs = bands.groupby("bucket").map_groups(bucket_pairs,
+                                               batch_format="pyarrow")
+    return pairs.groupby("pbucket").map_groups(dedup_pairs,
+                                               batch_format="pyarrow")
+
+
+_EMPTY_PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("jaccard", pa.float64())])
+
+
+def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
+                       shingle: int = 1) -> ray.data.Dataset:
+    """Exact near-dup pairs at scale: LSH candidates, then an exact
+    shingle-set Jaccard verify over ONLY the candidate pairs.
+
+    The verify side ships the texts of the candidate doc set — docs that
+    collided in some LSH bucket, i.e. near-dups and their rare false
+    positives — via one ``ray.put`` (the small-side broadcast pattern);
+    volume is O(candidate docs), never O(corpus). If a pathological corpus
+    made the candidate set itself huge, swap this stage for a bucketed
+    hash-join of pairs↔texts (``Dataset.join``); the candidate pipeline is
+    unchanged.
+    """
+    cands = lsh_candidate_pairs(ds, shingle=shingle).materialize()
+    id_blocks = [
+        np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
+                        b["doc_b"].to_numpy(zero_copy_only=False)])
+        for b in cands.iter_batches(batch_format="pyarrow")]
+    cand_ids = np.unique(np.concatenate(id_blocks or [np.empty(0, np.int64)]))
+    if len(cand_ids) == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
+
+    # fetch ONLY the candidate docs' texts (isin filter applied per block at
+    # the scan side, nothing else reaches the driver)
+    idref = ray.put(cand_ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = ray.get(idref)
+        keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
+        return t.filter(pa.array(keep))
+
+    text_by_id: dict[int, str] = {}
+    for b in (ds.select_columns(["doc_id", "text"])
+                .map_batches(pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        text_by_id.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    tref = ray.put(text_by_id)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(tref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):  # O(candidates) — near-dups only, not corpus
+            sa = set(_shingles(texts[a[i]], shingle))
+            sb = set(_shingles(texts[b[i]], shingle))
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = jac >= threshold
+        order = np.lexsort((b[keep], a[keep]))
+        return pa.table({"doc_a": pa.array(a[keep][order]),
+                         "doc_b": pa.array(b[keep][order]),
+                         "jaccard": pa.array(jac[keep][order])})
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------- connected components
+
+def connected_components(pairs: ray.data.Dataset,
+                         max_rounds: int = 30) -> ray.data.Dataset:
+    """Duplicate clusters from pairs via iterative min-label propagation.
+
+    The EDGE SET stays a Dataset throughout (materialized once so rounds
+    don't re-execute the pair pipeline). Per round every edge proposes the
+    smaller endpoint label to the larger; proposals are min-reduced per node
+    block-locally, then folded into the label frontier. Only the frontier —
+    O(#docs that appear in any pair), typically a tiny fraction of the
+    corpus — is driver-resident; at extreme duplication swap it for a keyed
+    label Dataset with a bucketed join per round (same round body).
+    Converges in O(component diameter) rounds.
+
+    Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component; singletons are omitted (only docs appearing in pairs).
+    """
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+
+    # frontier init: every node its own label (distinct nodes per block ->
+    # small driver fold)
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    node_blocks = edges.map_batches(nodes_partial, batch_format="pyarrow")
+    nodes = np.unique(np.concatenate(
+        [b["node"].to_numpy(zero_copy_only=False)
+         for b in node_blocks.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    if len(nodes) == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    labels = nodes.copy()  # labels[i] = label of nodes[i]
+
+    for _ in range(max_rounds):
+        ref = ray.put((nodes, labels))
+
+        def propose(t: pa.Table) -> pa.Table:
+            nd, lb = ray.get(ref)  # node->label frontier, local object store
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            la = lb[np.searchsorted(nd, a)]
+            lo = lb[np.searchsorted(nd, b)]
+            m = np.minimum(la, lo)
+            # per-block min per node bounds the driver fold to distinct
+            # nodes per block
+            tgt = np.concatenate([a, b])
+            val = np.concatenate([m, m])
+            order = np.argsort(tgt, kind="stable")
+            tgt, val = tgt[order], val[order]
+            first = np.ones(len(tgt), dtype=bool)
+            first[1:] = tgt[1:] != tgt[:-1]
+            starts = np.flatnonzero(first)
+            return pa.table({
+                "node": pa.array(tgt[starts], pa.int64()),
+                "label": pa.array(np.minimum.reduceat(val, starts), pa.int64()),
+            })
+
+        new_labels = labels.copy()
+        changed = False
+        for blk in edges.map_batches(
+                propose, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            idx = np.searchsorted(nodes, blk["node"].to_numpy(zero_copy_only=False))
+            lab = blk["label"].to_numpy(zero_copy_only=False)
+            upd = lab < new_labels[idx]
+            if upd.any():
+                changed = True
+                np.minimum.at(new_labels, idx[upd], lab[upd])
+        labels = new_labels
+        if not changed:
+            break
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array(labels, pa.int64())}))

@@ -635,30 +635,33 @@ JACCARD_THRESHOLD = 0.95
 
 
 def ngram_jaccard_pairs(sf_dir: str):
-    """Word-set Jaccard near-dup pairs (brute-force verified baseline;
-    integer set sizes -> the Jaccard double is bit-identical to SQL)."""
-    from .functions.dedup import jaccard_pairs
+    """Word-set Jaccard near-dup pairs ≥ threshold via the SCALE path:
+    LSH candidates -> distributed hash-join to texts -> exact verify.
+    Oracle-exact (integer set sizes -> the Jaccard double is bit-identical
+    to SQL; LSH miss probability ~2e-12 at j=0.95)."""
+    from .functions.dedup import lsh_verified_pairs
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return jaccard_pairs(ds, JACCARD_THRESHOLD)
+    return lsh_verified_pairs(ds, JACCARD_THRESHOLD, shingle=1)
 
 
 def minhash_lsh_dups(sf_dir: str):
-    """MinHash+LSH candidate near-dup pairs over word 3-gram shingles
-    (order-sensitive near-duplication, the web-dedup standard; the word-SET
-    variant is exercised with shingle=1 in tests against the brute-force
-    baseline). Probabilistic — rows-only check."""
-    from .functions.dedup import lsh_candidate_pairs
+    """MinHash+LSH near-dup pairs over word 3-gram shingles (order-sensitive
+    near-duplication, the web-dedup standard), exact-verified within
+    candidate buckets — oracle-checked against DuckDB's list-comprehension
+    shingling."""
+    from .functions.dedup import lsh_verified_pairs
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return lsh_candidate_pairs(ds, shingle=3)
+    return lsh_verified_pairs(ds, JACCARD_THRESHOLD, shingle=3)
 
 
 def neardup_clusters(sf_dir: str):
-    """Duplicate CLUSTERS: brute-verified word-set Jaccard pairs -> connected
-    components via min-label propagation. Oracle-exact: DuckDB computes the
-    same transitive closure with a recursive CTE."""
-    from .functions.dedup import connected_components, jaccard_pairs
+    """Duplicate CLUSTERS: LSH-verified word-set Jaccard pairs -> connected
+    components via distributed min-label propagation (edges stay a Dataset;
+    only the node-label frontier is driver-resident). Oracle-exact: DuckDB
+    computes the same transitive closure with a recursive CTE."""
+    from .functions.dedup import connected_components, lsh_verified_pairs
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = jaccard_pairs(ds, JACCARD_THRESHOLD)
+    pairs = lsh_verified_pairs(ds, JACCARD_THRESHOLD, shingle=1)
     return connected_components(pairs)
 
 
@@ -963,6 +966,23 @@ ORACLE_SQL.update({
                      / (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w)))
                          AS jaccard
               FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM p
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_lsh_dups": f"""
+        WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN LEN(w) >= 3 THEN LIST_DISTINCT(
+                            [CONCAT_WS(' ', w[i], w[i+1], w[i+2])
+                             FOR i IN RANGE(1, LEN(w) - 1)])
+                          ELSE [text] END AS sh
+              FROM d),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                     / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+                         AS jaccard
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, jaccard FROM p
         WHERE jaccard >= {JACCARD_THRESHOLD}
     """,

@@ -171,3 +171,28 @@ def test_connected_components_empty():
     t = pa.table({"doc_a": pa.array([], pa.int64()),
                   "doc_b": pa.array([], pa.int64())})
     assert connected_components(ray.data.from_arrow(t)).count() == 0
+
+
+def test_lsh_verified_pairs_equal_brute_force():
+    """The shipped scale path (LSH candidates -> hash-join -> exact verify)
+    must produce exactly the brute-force pair set, jaccard values included."""
+    from cwds_jobs_ray.functions.dedup import lsh_verified_pairs
+    ds = _docs()
+    brute = (jaccard_pairs(ds, 0.95).to_pandas()
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    got = (lsh_verified_pairs(ds, 0.95, shingle=1).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert got[["doc_a", "doc_b"]].equals(
+        brute[["doc_a", "doc_b"]].astype("int64"))
+    assert np.allclose(got["jaccard"], brute["jaccard"], rtol=0, atol=0)
+
+
+def test_exact_dedup_has_no_single_task_reduce():
+    """exact_dedup's final must be a keyed groupby, not repartition(1):
+    with many input blocks the output arrives in >1 block."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = exact_dedup(ds)
+    assert out.count() == t.num_rows
+    assert out.materialize().num_blocks() > 1
