@@ -35,6 +35,23 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount (numpy<2 lacks bitwise_count) — replaces a
+    per-element Python loop in the Hamming mask."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & _M1)
+        x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+        x = (x + (x >> np.uint64(4))) & _M4
+        return ((x * _H01) >> np.uint64(56)).astype(np.int64)
+
+
 def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
                 query_ids: np.ndarray, k: int) -> ray.data.Dataset:
     """Exact top-k neighbors per query by cosine; returns
@@ -105,8 +122,7 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
         sims = q @ m.T
         # candidate mask: vector bucket within Hamming-1 of query bucket
         xor = qb[:, None] ^ buck[None, :]
-        pop = np.vectorize(lambda v: bin(int(v)).count("1"))(xor)
-        sims = np.where(pop <= 1, sims, -np.inf)
+        sims = np.where(_popcount64(xor) <= 1, sims, -np.inf)
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         qi = np.repeat(qids, kk)
@@ -202,32 +218,58 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
                                                batch_size=None)
 
 
-def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float) -> pa.Table:
-    """All pairs (a < b) with cosine >= threshold: corpus matrix broadcast
-    once, one matmul per block (embedding-cosine near-dup detection)."""
-    tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
-    full = _unit(np.asarray(tbl["embedding"].tolist(), dtype=np.float64))
-    ids_all = tbl["vec_id"].to_numpy()
-    ref = ray.put((full, ids_all))
+_EMPTY_VPAIRS = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        m, ids_s = ray.get(ref)
-        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ids_s, bids)
-        sims = m[idx] @ m.T
-        mask = (sims >= threshold) & (bids[:, None] < ids_s[None, :])
+
+def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float,
+                         block_size: int = 4096) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine >= threshold, EXACTLY, via a
+    distributed block-pair sweep.
+
+    The corpus is split into blocks of ``block_size`` vectors; one Ray task
+    per unordered block pair computes that pair's cross matmul and emits its
+    qualifying pairs. Total flops are the inherent O(n^2 d) of an exact
+    low-threshold sweep, but each task holds only TWO blocks (memory
+    O(block_size * d)), nothing broadcasts the corpus, and nothing funnels
+    through the driver. Why not LSH/IVF pruning: at a threshold this low
+    (0.5 ~ 60° — inside the bulk of a random-vector cosine distribution) any
+    bucketing scheme has material miss probability at the boundary, so a
+    pruned sweep cannot promise the oracle-exact pair set; at thresholds
+    >=0.8 swap in the banded-LSH candidate pipeline (functions/dedup.py
+    shape) and verify candidates exactly.
+    """
+
+    def pack(batch: pa.Table) -> pa.Table:
+        return batch  # block boundaries only; content unchanged
+
+    blocks = (ds.select_columns(["vec_id", "embedding"])
+                .map_batches(pack, batch_format="pyarrow",
+                             batch_size=block_size)
+                .to_arrow_refs())
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ma = _unit(_mat(ta["embedding"]))
+        ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
+        mb = _unit(_mat(tb["embedding"]))
+        ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
+        sims = ma @ mb.T
+        mask = sims >= threshold
+        if same:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        else:
+            lo = ids_a[:, None] < ids_b[None, :]
+            a_ids = np.where(lo, ids_a[:, None], ids_b[None, :])
+            b_ids = np.where(lo, ids_b[None, :], ids_a[:, None])
+            ai, bj = np.nonzero(mask)
+            return pa.table({"vec_a": pa.array(a_ids[ai, bj], pa.int64()),
+                             "vec_b": pa.array(b_ids[ai, bj], pa.int64())})
         ai, bj = np.nonzero(mask)
-        return pa.table({"vec_a": pa.array(bids[ai], pa.int64()),
-                         "vec_b": pa.array(ids_s[bj], pa.int64())})
+        return pa.table({"vec_a": pa.array(ids_a[ai], pa.int64()),
+                         "vec_b": pa.array(ids_b[bj], pa.int64())})
 
-    out = ds.select_columns(["vec_id"]).map_batches(
-        pairs, batch_format="pyarrow", batch_size=2048)
-    # materialize with explicit schema: an all-empty Dataset loses its
-    # column schema through to_pandas, which breaks empty-result compares
-    batches = list(out.iter_batches(batch_format="pyarrow"))
-    batches = [b for b in batches if b.num_rows]
-    if not batches:
-        return pa.table({"vec_a": pa.array([], pa.int64()),
-                         "vec_b": pa.array([], pa.int64())})
-    return pa.concat_tables(batches)
+    refs = [block_pair.remote(blocks[i], blocks[j], i == j)
+            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    if not refs:
+        return ray.data.from_arrow(_EMPTY_VPAIRS.empty_table())
+    return ray.data.from_arrow_refs(refs)

@@ -196,3 +196,16 @@ def test_exact_dedup_has_no_single_task_reduce():
     out = exact_dedup(ds)
     assert out.count() == t.num_rows
     assert out.materialize().num_blocks() > 1
+
+
+def test_cosine_neardup_block_pair_sweep_matches_single_block():
+    """Multi-block block-pair sweep (incl. cross-block tasks) must produce
+    the exact same pair set as a one-block run."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    one = (cosine_neardup_pairs(ds, 0.4, block_size=10**6).to_pandas()
+           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    many = (cosine_neardup_pairs(ds, 0.4, block_size=64).to_pandas()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    assert len(one) > 0
+    assert many.equals(one)
