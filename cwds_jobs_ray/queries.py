@@ -488,38 +488,32 @@ def union_change_sources(sf_dir: str):
 
 
 def asof_join_latest_event(sf_dir: str):
-    """As-of join (custom operator; Ray Data has none): each order joined to
-    the latest event of its customer at-or-before the order date.
+    """As-of join for two LARGE sides (custom operator; Ray Data has none):
+    each event joined to its customer's latest order at-or-before the event
+    time. Both sides hash the customer key into a shared bucket space and
+    co-locate through one keyed shuffle; each bucket runs one vectorized
+    ``pd.merge_asof`` (functions/joins.py). Neither side is broadcast or
+    driver-materialized; ties on o_orderdate resolve to max o_orderkey."""
+    from .functions.joins import bucketed_asof_join
 
-    Small side (events) broadcast sorted; per-batch ``pd.merge_asof`` with
-    ``by=key, direction=backward`` — ties on ts resolved to max event_id by
-    sorting the right side on (ts, event_id). SCALE NOTE: when both sides
-    are large, bucket both by hash(key) and run the same merge_asof per
-    bucket (the ray_guide as-of pattern)."""
-    import pyarrow.parquet as pq
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey", "o_orderdate"]
-                           ).to_pandas()
-    orders = orders.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
-    ref = ray.put(orders)
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = bucketed_asof_join(events, orders,
+                                left_by="user_id", right_by="o_custkey",
+                                left_on="ts", right_on="o_orderdate",
+                                n_buckets=32, right_tiebreak=["o_orderkey"])
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-
-    def asof(batch: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(ref)
-        batch = batch.sort_values("ts", kind="stable")
-        out = pd.merge_asof(batch, right, left_on="ts", right_on="o_orderdate",
-                            left_by="user_id", right_by="o_custkey",
-                            direction="backward")
-        out = out.dropna(subset=["o_orderkey"])
+    def project(out: pd.DataFrame) -> pd.DataFrame:
+        # int columns pass through the two-sided union as nullable -> float
         return pd.DataFrame({
-            "lsn": out["event_id"],
-            "user_id": out["user_id"],
+            "lsn": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
             "o_orderkey": out["o_orderkey"].astype("int64"),
             "o_orderdate": out["o_orderdate"],
         })
 
-    return ds.map_batches(asof, batch_format="pandas", batch_size=65536)
+    return joined.map_batches(project, batch_format="pandas")
 
 
 SESSION_GAP_MIN = 30

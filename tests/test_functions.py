@@ -209,3 +209,37 @@ def test_cosine_neardup_block_pair_sweep_matches_single_block():
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
     assert len(one) > 0
     assert many.equals(one)
+
+
+def test_bucketed_asof_join_matches_pandas_reference():
+    """bucketed_asof_join (keyed-shuffle path) must equal a single-process
+    merge_asof over the same inputs."""
+    from cwds_jobs_ray.functions.joins import bucketed_asof_join
+    rng = np.random.default_rng(5)
+    n_l, n_r = 2000, 800
+    left = pa.table({
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+        "k": pa.array(rng.integers(0, 50, n_l), pa.int64()),
+        "t": pa.array(rng.integers(0, 10**6, n_l), pa.int64()),
+    })
+    right = pa.table({
+        "rid": pa.array(np.arange(n_r), pa.int64()),
+        "rk": pa.array(rng.integers(0, 50, n_r), pa.int64()),
+        "rt": pa.array(rng.integers(0, 10**6, n_r), pa.int64()),
+    })
+    got = bucketed_asof_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(4),
+        left_by="k", right_by="rk", left_on="t", right_on="rt",
+        n_buckets=8, right_tiebreak=["rid"]).to_pandas()
+    got = (got.astype({"lid": "int64", "rid": "int64"})
+           .sort_values("lid").reset_index(drop=True))
+
+    import pandas as pd
+    lf = left.to_pandas().sort_values("t", kind="stable")
+    rf = right.to_pandas().sort_values(["rt", "rid"], kind="stable")
+    exp = pd.merge_asof(lf, rf, left_on="t", right_on="rt",
+                        left_by="k", right_by="rk", direction="backward")
+    exp = (exp.dropna(subset=["rid"]).astype({"rid": "int64", "rk": "int64"})
+           .sort_values("lid").reset_index(drop=True))
+    assert got[["lid", "rid"]].equals(exp[["lid", "rid"]])
