@@ -20,15 +20,18 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="resolve job mode and drain the WAL")
-    run.add_argument("--table-dir", required=True)
-    run.add_argument("--wal-dir", required=True)
+    run.add_argument("-c", "--config", default=None,
+                     help="YAML job config with ${ENV} substitution "
+                          "(flags override config values)")
+    run.add_argument("--table-dir", default=None)
+    run.add_argument("--wal-dir", default=None)
     run.add_argument("--base", default=None,
                      help="base snapshot parquet (initial load only)")
-    run.add_argument("--partitions", type=int, default=16)
-    run.add_argument("--events-per-batch", type=int, default=500_000)
+    run.add_argument("--partitions", type=int, default=None)
+    run.add_argument("--events-per-batch", type=int, default=None)
     run.add_argument("--follow", action="store_true",
                      help="keep tailing the WAL for new segments")
-    run.add_argument("--poll-interval", type=float, default=2.0)
+    run.add_argument("--poll-interval", type=float, default=None)
     run.add_argument("--idle-polls-to-stop", type=int, default=None)
 
     st = sub.add_parser("status", help="print the committed manifest")
@@ -88,15 +91,37 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.cdc import CDCJob
 
     if args.cmd == "run":
-        job = CDCJob(args.table_dir, args.wal_dir,
-                     num_partitions=args.partitions,
-                     events_per_batch=args.events_per_batch)
-        if args.follow:
-            m = job.follow(base_path=args.base,
-                           poll_interval_s=args.poll_interval,
-                           idle_polls_to_stop=args.idle_polls_to_stop)
+        from .config import job_from_config, load_config
+
+        cfg = load_config(args.config) if args.config else {}
+        # precedence: explicit flag > config file > built-in default
+        if args.table_dir:
+            cfg["table_dir"] = args.table_dir
+        if args.wal_dir:
+            cfg["wal_dir"] = args.wal_dir
+        if args.partitions is not None:
+            cfg["num_partitions"] = args.partitions
+        if args.events_per_batch is not None:
+            cfg["events_per_batch"] = args.events_per_batch
+        for req in ("table_dir", "wal_dir"):
+            if not cfg.get(req):
+                p.error(f"{req} required (flag or config file)")
+        job = job_from_config(cfg)
+        base = args.base or cfg.get("base_path") or None
+        fcfg = cfg.get("follow", {})
+        if args.follow or fcfg:
+            m = job.follow(
+                base_path=base,
+                poll_interval_s=args.poll_interval
+                if args.poll_interval is not None
+                else fcfg.get("poll_interval_s", 2.0),
+                idle_polls_to_stop=args.idle_polls_to_stop
+                if args.idle_polls_to_stop is not None
+                else fcfg.get("idle_polls_to_stop"),
+                max_polls=fcfg.get("max_polls"),
+            )
         else:
-            m = job.run(base_path=args.base)
+            m = job.run(base_path=base)
         print(json.dumps({"job_mode": m.job_mode,
                           "table_version": m.table_version,
                           "applied_through_lsn": m.applied_through_lsn,

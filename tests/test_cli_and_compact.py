@@ -127,3 +127,59 @@ def test_cli_export(workdir, capsys):
     t = pads.dataset(out_dir).to_table()
     assert t.num_rows == run_out["rows"]
     assert "op" not in t.column_names  # public columns only
+
+
+def test_yaml_config_env_substitution_and_validation(workdir, monkeypatch):
+    from cwds_jobs_ray.config import ConfigError, load_config
+
+    cfg_path = os.path.join(workdir, "job.yaml")
+    monkeypatch.setenv("MY_WAL", "/data/wal")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "table_dir: ${MY_TABLE:-/data/table}\n"
+            "wal_dir: ${MY_WAL}\n"
+            "num_partitions: '8'\n"          # string from env-style usage
+            "delta_threshold: 0.5\n"
+            "merge_policy: fww\n")
+    cfg = load_config(cfg_path)
+    assert cfg["table_dir"] == "/data/table"   # ${VAR:-default} fallback
+    assert cfg["wal_dir"] == "/data/wal"       # ${VAR} from env
+    assert cfg["num_partitions"] == 8          # coerced int
+    assert cfg["delta_threshold"] == 0.5
+    assert cfg["merge_policy"] == "fww"
+
+    import pytest as _pytest
+    with open(cfg_path, "w") as f:
+        f.write("table_dir: /t\nwal_dir: /w\nbogus_key: 1\n")
+    with _pytest.raises(ConfigError, match="unknown config key"):
+        load_config(cfg_path)
+    with open(cfg_path, "w") as f:
+        f.write("table_dir: /t\n")  # wal_dir missing
+    with _pytest.raises(ConfigError, match="missing required"):
+        load_config(cfg_path)
+    with open(cfg_path, "w") as f:
+        f.write("table_dir: /t\nwal_dir: ${UNSET_VAR_XYZ}\n")
+    with _pytest.raises(ConfigError, match="UNSET_VAR_XYZ"):
+        load_config(cfg_path)
+
+
+def test_cli_run_from_config_file(workdir, capsys, monkeypatch):
+    """Reference pattern: job fully driven by `-c config.yaml` with ${ENV}
+    substitution (JobConfiguration.java:27-48)."""
+    spec = WalSpec(seed=71, n_convs=6, turns_per_conv=2, n_events=40,
+                   n_segments=2, dup_redelivery_frac=0.1)
+    d = synthesize(spec, workdir)
+    monkeypatch.setenv("CDC_TABLE_DIR", os.path.join(workdir, "table"))
+    cfg_path = os.path.join(workdir, "job.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "table_dir: ${CDC_TABLE_DIR}\n"
+            f"wal_dir: {os.path.join(workdir, 'wal')}\n"
+            f"base_path: {d['base_path']}\n"
+            "num_partitions: 4\n"
+            "events_per_batch: 20\n")
+    assert cli_main(["run", "-c", cfg_path]) == 0
+    out = json.loads(capsys.readouterr().out)
+    o = replay(d["base"], d["wal"], 4)
+    assert out["rows"] == o.rows_applied
+    assert out["applied_through_lsn"] == 40
