@@ -125,9 +125,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+def _golden_oracle_sqls() -> dict[str, str]:
+    """Golden expected tables for the deterministic operators with no SQL
+    reformulation (BPE token counts, winnowing, SimHash), computed by
+    INDEPENDENT naive reference implementations (plain Python loops, not the
+    engine's vectorized kernels) over the documents table and emitted as SQL
+    VALUES — the reference's golden-assertion pattern
+    (/root/reference/jobs-facilities-cws/src/test/java/gov/ca/cwds/jobs/cals/facility/cws/CwsFacilityJobTest.java:60-134)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.functions.text import (
+        BPE_PATTERN,
+        WINNOW_K,
+        WINNOW_W,
+        _ROLL_BASE,
+        _ROLL_MOD_MASK,
+    )
+
+    docs = pq.read_table(f"{ORACLE_SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+
+    pat = re.compile(BPE_PATTERN)
+    bpe_rows = [(i, len(pat.findall(t))) for i, t in zip(ids, texts)]
+
+    base, mask = int(_ROLL_BASE), int(_ROLL_MOD_MASK)
+    winnow_rows = []
+    for i, t in zip(ids, texts):
+        b = t.encode("utf-8", "ignore")
+        hashes = []
+        for s in range(len(b) - WINNOW_K + 1):
+            h = 0
+            for c in b[s:s + WINNOW_K]:  # naive per-char reference
+                h = (h * base + c) & mask
+            hashes.append(h)
+        if not hashes:
+            winnow_rows.append((i, 0, 0))
+            continue
+        if len(hashes) <= WINNOW_W:
+            fps = {min(hashes)}
+        else:
+            fps = {min(hashes[s:s + WINNOW_W])
+                   for s in range(len(hashes) - WINNOW_W + 1)}
+        winnow_rows.append((i, len(fps), min(fps)))
+
+    sim_rows = []
+    for i, t in zip(ids, texts):
+        ws = t.split(" ")
+        hs = [int(v) for v in
+              pd.util.hash_array(np.asarray(ws, dtype=object))] if ws else []
+        sim = 0
+        for b_ in range(64):
+            votes = sum(1 if (h >> b_) & 1 else -1 for h in hs)
+            if votes > 0:
+                sim |= 1 << b_
+        sim_rows.append((i, np.int64(np.uint64(sim))))
+
+    def values_sql(rows, cols) -> str:
+        tuples = ", ".join(
+            "(" + ", ".join(f"{int(v)}::BIGINT" for v in r) + ")"
+            for r in rows)
+        return (f"SELECT * FROM (VALUES {tuples}) AS t({', '.join(cols)})")
+
+    return {
+        "token_counts_bpe": values_sql(bpe_rows, ["doc_id", "n_bpe_tokens"]),
+        "rolling_hash_fingerprints": values_sql(
+            winnow_rows, ["doc_id", "n_fingerprints", "min_fingerprint"]),
+        "simhash_fingerprint": values_sql(sim_rows, ["doc_id", "simhash"]),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from cwds_jobs_ray.queries import ORACLE_SQL
 
     out = dict(ORACLE_SQL)
     out["transcript_cdc_replay"] = _transcript_replay_oracle_sql()
+    out.update(_golden_oracle_sqls())
     return out

@@ -175,7 +175,9 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             continue
         hs = _word_hashes(ws)
         bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1)
-        votes = 2 * bits.sum(axis=0) - len(hs)
+        # signed arithmetic: bits.sum is uint64 and 2*ones - n would wrap
+        # for minority bits, spuriously setting them
+        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(hs)
         sim = np.uint64(0)
         for b in np.nonzero(votes > 0)[0]:
             sim |= np.uint64(1) << np.uint64(b)
