@@ -321,7 +321,15 @@ class CDCJob:
         if on_before_commit is not None:
             on_before_commit(new_m)
         new_m.commit(self.table_dir)
-        logger.info("committed v%d: %d partitions touched", version, len(touched))
+        # per-task skew stats: the block-level LWW pre-combine bounds each
+        # merge task's input to distinct-keys-per-chunk, so even a viral key
+        # keeps max/mean near 1 (see SURVEY §4.2 measurement)
+        rows_in = stats_df["rows_in"] if len(stats_df) else pd.Series([0])
+        logger.info(
+            "committed v%d: %d partitions touched; merge-input skew "
+            "max/mean=%.2f (max=%d rows)", version, len(touched),
+            float(rows_in.max()) / max(1.0, float(rows_in.mean())),
+            int(rows_in.max() or 0))
         return new_m
 
     # ----------------------------------------------------------- tail mode

@@ -54,7 +54,7 @@ from ..schema import conform_to_schema
 STATS_COLUMNS = [
     "part", "rows_applied", "dedup_count", "conflict_count",
     "replay_skipped", "lsn_watermark", "file", "delta_file",
-    "delta_rows_new", "base_file_rows",
+    "delta_rows_new", "base_file_rows", "rows_in",
 ]
 
 # merge-on-read key/order columns: enough to decide every LWW winner and
@@ -448,7 +448,8 @@ def make_partition_merger(
 
         return pd.DataFrame(
             [[part, live_rows, dedup, conflict, replay_skipped, new_wm,
-              new_base_rel, new_delta_rel, delta_rows_new, base_file_rows]],
+              new_base_rel, new_delta_rel, delta_rows_new, base_file_rows,
+              nd]],
             columns=STATS_COLUMNS,
         )
 
@@ -615,7 +616,7 @@ def snapshot_write_partition(part: int, table_dir: str, version: int,
     wm = int(lsns.max()) if len(lsns) else 0
     return pd.DataFrame(
         [[part, out.num_rows, 0, 0, 0, max(wm, 0), rel, None, 0,
-          out.num_rows]],
+          out.num_rows, out.num_rows]],
         columns=STATS_COLUMNS)
 
 

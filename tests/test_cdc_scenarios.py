@@ -434,3 +434,52 @@ def test_v1_original_redelivered_in_v2_segment_keeps_first_copy(workdir):
     df = wal.to_pandas()
     g = df.groupby("lsn")["tool"].nunique(dropna=False)
     assert (g > 1).any(), "fixture never exercises the v1/v2 copy divergence"
+
+
+def test_viral_key_shuffle_rows_bounded_by_blocks(workdir):
+    """The block-combine IS the salt (SURVEY §4.2): a conv_id carrying 90%
+    of the stream still contributes at most distinct-(conv,turn)-keys rows
+    per combine chunk to the shuffle, so the hot partition's merge input is
+    bounded by n_chunks x keys-per-conv, independent of event count."""
+    import numpy as np
+
+    from cwds_jobs_ray.schema import CHANGE_SCHEMA_V2
+    from cwds_jobs_ray.stages.merge import make_combiner
+    from cwds_jobs_ray.stages.partition import partition_ids
+
+    spec = WalSpec(seed=31, n_convs=50, turns_per_conv=4, n_events=20_000,
+                   n_segments=1, hot_key_frac=0.9, out_of_order_frac=0.1,
+                   dup_redelivery_frac=0.05)
+    wal = make_wal(spec)
+    P = 8
+    combine = make_combiner(CHANGE_SCHEMA_V2, P)
+    chunk_rows = 2_000
+    per_part = np.zeros(P, dtype=np.int64)
+    n_chunks = 0
+    for off in range(0, wal.num_rows, chunk_rows):
+        chunk = wal.slice(off, chunk_rows)
+        out = combine(chunk)
+        n_chunks += 1
+        # block-local LWW: one winner row per distinct (conv, turn) key
+        keys = chunk.to_pandas().groupby(["conv_id", "turn_idx"]).ngroups
+        assert out.num_rows <= keys
+        p = out["part"].to_numpy(zero_copy_only=False)
+        per_part += np.bincount(p.astype(np.int64), minlength=P)
+    # the hot conversation targets turn_idx 0..9 -> <= 10 winner rows per
+    # chunk for 90% of the stream; its partition cannot dominate
+    max_keys_per_conv = spec.turns_per_conv + 6
+    hot_part = partition_ids(pa.array(["c000000"]), P)[0]
+    assert per_part[hot_part] <= n_chunks * (
+        max_keys_per_conv + 2 * spec.n_convs)  # hot conv + cold stragglers
+    assert per_part.max() <= 4 * max(1, int(per_part.mean())), \
+        f"merge-input skew too high: {per_part.tolist()}"
+
+    # and the full pipeline on the same workload stays oracle-exact
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=P, events_per_batch=10**9,
+                 combine_batch_size=chunk_rows)
+    m = job.run(base_path=d["base_path"])
+    o = replay(d["base"], d["wal"], P)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m.total("conflict_count") == o.conflict_count
