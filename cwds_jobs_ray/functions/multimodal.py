@@ -41,6 +41,15 @@ def fake_media_table(texts: list[str], ids: list[int]) -> pa.Table:
     })
 
 
+def media_batch_from_docs(batch: pa.Table) -> pa.Table:
+    """Per-block conversion of a documents batch into the media table —
+    the DISTRIBUTED construction path (`map_batches` over the documents
+    Dataset), so the stand-in corpus is built where the data lives instead
+    of on the driver."""
+    return fake_media_table(batch["text"].to_pylist(),
+                            batch["doc_id"].to_pylist())
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels/samples from the payload
     digest. Replace with a real codec call in production; raises on unknown

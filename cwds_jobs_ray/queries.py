@@ -544,18 +544,28 @@ SESSION_GAP_MIN = 30
 
 def sessionize_events(sf_dir: str):
     """Session windows (custom operator): per-user sessions split at
-    >30-minute gaps, with per-session count and bounds. Sessions are
-    key-local state, so this is a per-key grouped computation — the one
-    place the catalog legitimately uses ``groupby(key).map_groups``
-    (sessions can span blocks, so block-local pre-reduce can't apply)."""
+    >30-minute gaps, with per-session count and bounds.
+
+    Sessions are key-local state that can span input blocks, so rows must
+    co-locate by user — but NOT one Python call per user: users hash into
+    coarse buckets (one keyed shuffle), and each bucket sessionizes ALL its
+    users in one vectorized pass (sort + shift + grouped cumsum)."""
+    from .functions.joins import _int_bucket
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False),
+                        N_AGG_BUCKETS)
+        return t.append_column("_bucket", pa.array(b))
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = g["user_id"].eq(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sess = gap.cumsum().astype("int64")
-        out = g.assign(session_id=sess).groupby("session_id", sort=False).agg(
-            user_id=("user_id", "first"),
+        g = g.assign(brk=(same_user & gap).astype("int64"))
+        g["session_id"] = g.groupby("user_id", sort=False)["brk"].cumsum()
+        out = g.groupby(["user_id", "session_id"], sort=False).agg(
             n=("event_id", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -563,7 +573,9 @@ def sessionize_events(sf_dir: str):
         return out[["user_id", "session_id", "n", "session_start",
                     "session_end"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(sessionize_bucket, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
@@ -754,15 +766,13 @@ def paged_source_demo(sf_dir: str):
 def multimodal_features(sf_dir: str):
     """Multimodal plumbing demo: opaque binary payloads -> actor-pool
     decode/feature stage (decode kernel stubbed; see functions/multimodal.py).
-    Rows-only check (no SQL equivalent)."""
-    from .functions.multimodal import extract_features, fake_media_table
-    import pyarrow.parquet as pq
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    media = fake_media_table(docs["text"].to_pylist(),
-                             docs["doc_id"].to_pylist())
-    ds = ray.data.from_arrow(media)
-    out = extract_features(ds)
+    The media table is built DISTRIBUTED (map_batches over the documents
+    Dataset), never on the driver. Rows-only check (no SQL equivalent)."""
+    from .functions.multimodal import extract_features, media_batch_from_docs
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(media_batch_from_docs, batch_format="pyarrow",
+                             batch_size=1024)
+    out = extract_features(media)
     return out.drop_columns(["feature"])  # list col dropped for the check
 
 
