@@ -377,6 +377,48 @@ def merge_upsert_join(sf_dir: str):
     return winners.map_batches(upsert_join, batch_format="pandas")
 
 
+def join_large_rev_by_priority(sf_dir: str):
+    """Large⋈large equi-join — neither side broadcast: per-order lineitem
+    revenue (pre-reduced to one row per orderkey via the keyed bucket
+    tree-agg, so the join input is already minimal) hash-joined to orders
+    with Ray Data's native distributed join, then a tiny per-priority final.
+    The one catalog join where both sides are fact tables."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_order(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("l_orderkey", sort=False)["rev"].sum() \
+             .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = _tree_agg(li, partial, per_order, bucket_on="l_orderkey")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    joined = rev.join(orders, "inner", 16, on=("l_orderkey",),
+                      right_on=("o_orderkey",))
+
+    def pri_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("o_orderpriority", sort=False).agg(
+            n_orders=("rev", "size"), sum_rev=("rev", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pri_final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("o_orderpriority", sort=False).agg(
+            n_orders=("n_orders", "sum"), sum_rev=("sum_rev", "sum")) \
+             .reset_index()
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.set_column(out.schema.get_field_index("sum_rev"),
+                              "sum_rev", _round2(out["sum_rev"]))
+
+    return _tree_agg(joined, pri_partial, pri_final)
+
+
 # --------------------------------------------------------------------------
 # aggregations / distinct / counts (A1-A5)
 
@@ -793,6 +835,7 @@ QUERIES = {
     "trim_normalize": trim_normalize,
     "opcode_recode": opcode_recode,
     "join_broadcast_dims": join_broadcast_dims,
+    "join_large_rev_by_priority": join_large_rev_by_priority,
     "hydration_lookup": hydration_lookup,
     "merge_upsert_join": merge_upsert_join,
     "agg_pricing_summary": agg_pricing_summary,
@@ -889,6 +932,16 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "join_large_rev_by_priority": """
+        WITH r AS (
+          SELECT l_orderkey,
+                 SUM(l_extendedprice * (1 - l_discount)) AS rev
+          FROM lineitem GROUP BY 1)
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(rev), 2) AS sum_rev
+        FROM r JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "hydration_lookup": """
         SELECT o_orderkey, o_totalprice, c_name, c_mktsegment

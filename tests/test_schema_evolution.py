@@ -117,3 +117,22 @@ def test_added_column_survives_later_batches_without_it(workdir):
         # but the COLUMN itself must still exist with correct schema
         assert df["meta"].notna().sum() == 0
     assert m.schema_version == 2  # bumped once, not per batch
+
+
+def test_read_table_dataset_after_evolution_backfills_untouched_partitions(workdir):
+    """A column added by a batch that touched only SOME partitions: the
+    Dataset read path must null-backfill the new column for partitions whose
+    committed files predate the evolution (they route through merge_on_read
+    rather than the plain parquet scan)."""
+    v3 = _v3_table(1, "evolved row", "m1")
+    job, base_path = _setup(workdir, [v3])
+    job.run(base_path=base_path)
+
+    df = (job.read_table(columns=["conv_id", "turn_idx", "text", "meta"])
+          .to_pandas()
+          .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert "meta" in df.columns
+    assert len(df) == 12  # 4 convs x 3 turns
+    touched = df[(df["conv_id"] == "c000000") & (df["turn_idx"] == 0)]
+    assert touched["meta"].tolist() == ["m1"]
+    assert df[df["conv_id"] != "c000000"]["meta"].isna().all()
