@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--table-dir", required=True)
     cp.add_argument("--tombstone-horizon-lsn", type=int, required=True)
 
+    rs = sub.add_parser("reshard", help="change the table's partition count")
+    rs.add_argument("--table-dir", required=True)
+    rs.add_argument("--partitions", type=int, required=True)
+
     ex = sub.add_parser("export", help="write the live table as sorted parquet")
     ex.add_argument("--table-dir", required=True)
     ex.add_argument("--out", required=True)
@@ -135,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
         # exported files keep that order (one file per committed partition)
         ds.write_parquet(args.out)
         print(json.dumps({"rows": ds.count(), "out": args.out}))
+        return 0
+
+    if args.cmd == "reshard":
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
+        m = job.reshard(args.partitions)
+        print(json.dumps({"table_version": m.table_version,
+                          "num_partitions": m.num_partitions,
+                          "rows": m.total("rows_applied")}))
         return 0
 
     if args.cmd == "compact":

@@ -296,6 +296,7 @@ class CDCJob:
             table_schema_b64=schema_to_b64(target),
             applied_through_lsn=max(manifest.applied_through_lsn,
                                     max(s.max_lsn for s in batch)),
+            retired_counters=dict(manifest.retired_counters),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
         touched = set()
@@ -435,6 +436,7 @@ class CDCJob:
             table_columns=manifest.table_columns,
             table_schema_b64=manifest.table_schema_b64,
             applied_through_lsn=manifest.applied_through_lsn,
+            retired_counters=dict(manifest.retired_counters),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
         for part, rel, live, total in ray.get(refs):
@@ -446,6 +448,84 @@ class CDCJob:
             p.rows_applied = live
         new_m.commit(self.table_dir)
         new_m.gc_uncommitted(self.table_dir)
+        return new_m
+
+    # ------------------------------------------------------------ resharding
+    def reshard(self, new_num_partitions: int) -> Manifest:
+        """Change the table's partition count (P is otherwise fixed at
+        creation): every old partition's committed state — tombstones and lsn
+        lineage included — re-routes through the direct shuffle into new
+        hash buckets, and one atomic manifest swap publishes the new layout.
+        Subsequent batches route with the new P automatically (the manifest
+        is authoritative).
+
+        New per-partition watermarks are set to the committed global
+        ``applied_through_lsn`` (>= every old per-partition watermark), which
+        preserves the replay rule: anything at-or-below it was already
+        applied or skipped, so a redelivery is replay-skipped, never
+        re-applied. Cumulative dedup/conflict/replay counters cannot be
+        attributed to new partitions, so their totals move to
+        ``manifest.retired_counters`` (``Manifest.total`` keeps including
+        them).
+        """
+        from ..stages.merge import reshard_split, reshard_write_partition
+        from ..state.manifest import PartitionState
+
+        manifest = self._load_manifest_or_raise()
+        if new_num_partitions < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        version = manifest.table_version + 1
+        disk = self._disk_schema(manifest)
+        G = self.slice_group_size
+        n_groups = -(-new_num_partitions // G)
+        split_task = ray.remote(num_returns=n_groups)(reshard_split)
+        write_task = ray.remote(reshard_write_partition)
+        slice_refs = []
+        for i in range(manifest.num_partitions):
+            p = manifest.part(i)
+            if p.file or p.delta_files:
+                slice_refs.append(split_task.remote(
+                    self.table_dir, p.file, list(p.delta_files), disk,
+                    new_num_partitions, G, self.merge_policy))
+        if n_groups == 1:
+            slice_refs = [[r] for r in slice_refs]
+        stats_refs = [
+            write_task.remote(np_, self.table_dir, version, disk,
+                              *[refs[np_ // G] for refs in slice_refs])
+            for np_ in range(new_num_partitions)
+        ]
+        stats_df = pd.concat(ray.get(stats_refs), ignore_index=True) \
+            if stats_refs else pd.DataFrame(columns=STATS_COLUMNS)
+
+        wm = max([manifest.applied_through_lsn]
+                 + [manifest.part(i).lsn_watermark
+                    for i in range(manifest.num_partitions)])
+        retired = {
+            f: manifest.total(f)
+            for f in ("dedup_count", "conflict_count", "replay_skipped")
+        }
+        new_m = Manifest(
+            job_mode=manifest.job_mode,
+            table_version=version,
+            schema_version=manifest.schema_version,
+            num_partitions=new_num_partitions,
+            base_path=manifest.base_path,
+            table_columns=manifest.table_columns,
+            table_schema_b64=manifest.table_schema_b64,
+            applied_through_lsn=manifest.applied_through_lsn,
+            retired_counters=retired,
+            partitions={str(i): PartitionState(lsn_watermark=wm)
+                        for i in range(new_num_partitions)},
+        )
+        for _, r in stats_df.iterrows():
+            p = new_m.part(int(r["part"]))
+            p.rows_applied = int(r["rows_applied"])
+            p.file = r["file"]
+            p.base_file_rows = int(r["base_file_rows"])
+        new_m.commit(self.table_dir)
+        new_m.gc_uncommitted(self.table_dir)
+        logger.info("resharded %d -> %d partitions at v%d",
+                    manifest.num_partitions, new_num_partitions, version)
         return new_m
 
     # -------------------------------------------------------------- reading

@@ -555,6 +555,66 @@ def merge_on_read(table_dir: str, base_rel: str | None, delta_rels: list[str],
     return live.select(out_cols)
 
 
+def reshard_split(table_dir: str, base_rel: str | None, delta_rels: list[str],
+                  disk_schema: pa.Schema, new_num_partitions: int,
+                  group_size: int = 8, policy: str = "lww"):
+    """Reshard stage-1 task: one OLD partition's committed state (base +
+    deltas LWW-merged, tombstones KEPT with their (ts, lsn) so disorder
+    guarantees survive the reshard) re-routed into NEW-partition group
+    slices — the same direct-shuffle shape as combine_and_split."""
+    import pyarrow.compute as pc
+
+    from .partition import partition_ids
+
+    parts = []
+    for rel in ([base_rel] if base_rel else []) + list(delta_rels):
+        t = conform_to_schema(pq.read_table(os.path.join(table_dir, rel)),
+                              disk_schema)
+        if t.num_rows and t["op"].null_count == t.num_rows:
+            t = t.set_column(t.schema.get_field_index("op"), "op",
+                             pa.array(np.repeat("B", t.num_rows), pa.string()))
+        parts.append(t)
+    t = pa.concat_tables(parts) if parts else disk_schema.empty_table()
+    if t.num_rows:
+        codes, _u, turn, ts, lsn = _key_arrays(t)
+        t = t.take(pa.array(_lww_winner_indices(codes, turn, ts, lsn, policy)))
+    part = partition_ids(t["conv_id"], new_num_partitions)
+    t = t.append_column("part", pa.array(part))
+    n_groups = -(-new_num_partitions // group_size)
+    if t.num_rows == 0:
+        return None if n_groups == 1 else tuple([None] * n_groups)
+    groups = pc.divide(t["part"], group_size)
+    out: list = [None] * n_groups
+    for g in pc.unique(groups).to_pylist():
+        out[int(g)] = t.filter(pc.equal(groups, g))
+    return out[0] if n_groups == 1 else tuple(out)
+
+
+def reshard_write_partition(part: int, table_dir: str, version: int,
+                            disk_schema: pa.Schema, *slices) -> pd.DataFrame:
+    """Reshard stage-2 task: write one NEW partition's base file, preserving
+    op (tombstones) and lsn lineage exactly as committed."""
+    import pyarrow.compute as pc
+
+    tables = []
+    for t in slices:
+        if t is None or t.num_rows == 0:
+            continue
+        mine = t.filter(pc.equal(t["part"], part))
+        if mine.num_rows:
+            tables.append(mine.drop_columns(["part"]))
+    t = (pa.concat_tables(tables, promote_options="permissive") if tables
+         else disk_schema.empty_table())
+    t = t.take(_key_sort_indices(t))
+    out = conform_to_schema(t, disk_schema)
+    rel = f"p={part}/v{version}.parquet"
+    write_atomic(out, os.path.join(table_dir, rel))
+    live = out.filter(pc.not_equal(pc.fill_null(out["op"], "B"), "D")).num_rows
+    return pd.DataFrame(
+        [[part, live, 0, 0, 0, 0, rel, None, 0, out.num_rows, out.num_rows]],
+        columns=STATS_COLUMNS)
+
+
 def snapshot_split(path: str, rg_start: int, rg_end: int,
                    target_schema: pa.Schema, num_partitions: int,
                    group_size: int = 8):

@@ -71,6 +71,9 @@ class Manifest:
     # routing, so a mismatch (library upgrade, algo change) must fail fast
     # instead of silently mis-routing keys (stale/duplicate rows)
     hash_algo: str = "fnv1a64-fmix-v1"
+    # cumulative counters from BEFORE a reshard (per-partition counters
+    # cannot be attributed to new partitions, so totals carry here)
+    retired_counters: dict[str, int] = field(default_factory=dict)
     partitions: dict[str, PartitionState] = field(default_factory=dict)
 
     FILENAME = "manifest.json"
@@ -123,7 +126,8 @@ class Manifest:
         return out
 
     def total(self, field_name: str) -> int:
-        return sum(getattr(p, field_name) for p in self.partitions.values())
+        return (sum(getattr(p, field_name) for p in self.partitions.values())
+                + self.retired_counters.get(field_name, 0))
 
     def gc_uncommitted(self, table_dir: str) -> list[str]:
         """Delete data files not referenced by this manifest (crash leftovers).

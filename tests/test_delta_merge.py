@@ -161,3 +161,101 @@ def test_crash_between_delta_write_and_commit_resumes_exactly(workdir):
     assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
     assert m.total("conflict_count") == o.conflict_count
     assert m.total("dedup_count") + m.total("replay_skipped") == o.dedup_count
+
+
+def test_reshard_preserves_state_and_counters(workdir):
+    """4 -> 8 -> 3 partitions: live table byte-equal across reshards,
+    cumulative counters preserved via retired_counters, old files GCed."""
+    d, job = _mk_job(workdir, BIG_BASE, events_per_batch=10)
+    m = job.run(base_path=d["base_path"])
+    before = job.read_table_arrow()
+    totals = {f: m.total(f) for f in
+              ("rows_applied", "dedup_count", "conflict_count",
+               "replay_skipped")}
+
+    for new_p in (8, 3):
+        job2 = CDCJob(job.table_dir, job.wal_dir, num_partitions=new_p)
+        m = job2.reshard(new_p)
+        assert m.num_partitions == new_p
+        assert job2.read_table_arrow().equals(before)
+        for f, v in totals.items():
+            assert m.total(f) == v, f
+        live = {os.path.join(job.table_dir, f) for f in m.committed_files()}
+        on_disk = set(glob.glob(
+            os.path.join(job.table_dir, "p=*", "*.parquet")))
+        assert on_disk == live
+
+
+def test_apply_after_reshard_matches_oracle(workdir):
+    """Apply half the WAL at P=4, reshard to 7, apply the rest: final state
+    and cumulative counters must equal the single-pass oracle's."""
+    spec = WalSpec(seed=41, n_convs=60, turns_per_conv=3, n_events=600,
+                   n_segments=6, dup_redelivery_frac=0.1,
+                   out_of_order_frac=0.2, frac_delete=0.2)
+    d = synthesize(spec, workdir)
+    wal_dir = os.path.join(workdir, "wal")
+    # hold back the last 3 segments
+    held = sorted(os.listdir(wal_dir))[3:]
+    for fn in held:
+        os.rename(os.path.join(wal_dir, fn), os.path.join(workdir, fn))
+    job = CDCJob(os.path.join(workdir, "table"), wal_dir, num_partitions=4,
+                 events_per_batch=10**9)
+    job.run(base_path=d["base_path"])
+
+    m = job.reshard(7)
+    assert m.num_partitions == 7
+
+    for fn in held:  # second wave arrives after the reshard
+        os.rename(os.path.join(workdir, fn), os.path.join(wal_dir, fn))
+    job2 = CDCJob(job.table_dir, wal_dir, num_partitions=7,
+                  events_per_batch=10**9)
+    m = job2.run()
+    o = replay(d["base"], d["wal"], 7)
+    got = job2.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    assert m.total("rows_applied") == o.rows_applied
+    assert m.total("conflict_count") == o.conflict_count
+    assert m.total("dedup_count") + m.total("replay_skipped") == o.dedup_count
+
+
+def test_reshard_keeps_tombstone_protection(workdir):
+    """A delete committed before a reshard must still beat an out-of-order
+    older update arriving after the reshard (tombstones travel with their
+    (ts, lsn))."""
+    import pyarrow.parquet as pq_
+
+    from cwds_jobs_ray.synth import make_base
+
+    base = make_base(WalSpec(seed=51, n_convs=4, turns_per_conv=2,
+                             n_events=0))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq_.write_table(base, base_path)
+    wal_dir = os.path.join(workdir, "wal")
+    os.makedirs(wal_dir)
+    t0 = 1_700_000_900_000_000
+    seg1 = pa.table({
+        "lsn": pa.array([1], pa.int64()), "op": pa.array(["D"]),
+        "conv_id": pa.array(["c000001"]), "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array([None], pa.string()),
+        "text": pa.array([None], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([t0 + 10**6], pa.timestamp("us")),
+    })
+    pq_.write_table(seg1, os.path.join(wal_dir, "segment-00000.parquet"))
+    job = CDCJob(os.path.join(workdir, "table"), wal_dir, num_partitions=2,
+                 events_per_batch=10**9)
+    job.run(base_path=base_path)
+    job.reshard(5)
+
+    seg2 = seg1.set_column(0, "lsn", pa.array([2], pa.int64()))
+    seg2 = seg2.set_column(1, "op", pa.array(["U"]))
+    seg2 = seg2.set_column(4, "role", pa.array(["user"]))
+    seg2 = seg2.set_column(5, "text", pa.array(["zombie update"]))
+    seg2 = seg2.set_column(7, "ts", pa.array([t0], pa.timestamp("us")))  # OLDER
+    pq_.write_table(seg2, os.path.join(wal_dir, "segment-00001.parquet"))
+    job2 = CDCJob(job.table_dir, wal_dir, num_partitions=5,
+                  events_per_batch=10**9)
+    job2.run()
+    got = job2.read_table_arrow().to_pandas()
+    key = got[(got["conv_id"] == "c000001") & (got["turn_idx"] == 0)]
+    assert key.empty, "older out-of-order update resurrected a deleted key"
