@@ -786,6 +786,107 @@ def embedding_neardup_pairs(sf_dir: str):
     return cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
 
 
+def train_val_split(sf_dir: str):
+    """Deterministic content-hash train/val split (the training-data split
+    must be a pure function of the record, never of row order): bucket =
+    first 8 hex digits of md5(text) mod 20; bucket 0 -> val."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        import hashlib
+        h = np.fromiter(
+            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 20
+             for x in t["text"].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        lab = np.where(h == 0, "val", "train")
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(lab, pa.string())})
+
+    return ds.map_batches(split, batch_format="pyarrow", batch_size=4096)
+
+
+def deterministic_shuffle(sf_dir: str):
+    """Global deterministic shuffle for training-data ordering: every doc
+    gets a pseudorandom but reproducible rank = position in md5-key order.
+    Exercises the distributed sort (range-partitioned shuffle); the rank is
+    assigned per sorted block from the block's global offset, so no stage
+    sees more than its block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        import hashlib
+        k = [hashlib.md5(f"{i}|{x}".encode()).hexdigest()
+             for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"], "shuffle_key": pa.array(k)})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=4096)
+    sorted_ds = keyed.sort("shuffle_key").materialize()
+
+    # zipWithIndex over the sorted, range-partitioned blocks: collect each
+    # block's (first_key, count) — O(#blocks) driver metadata, never rows —
+    # cumsum into per-block offsets, broadcast, and stamp ranks per block.
+    bounds = sorted_ds.map_batches(
+        lambda b: pa.table({"first_key": [b["shuffle_key"][0].as_py()],
+                            "n": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    bounds = bounds.sort_values("first_key").reset_index(drop=True)
+    offsets = np.concatenate([[0], bounds["n"].to_numpy().cumsum()[:-1]])
+    bref = ray.put((bounds["first_key"].to_numpy(), offsets))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        firsts, offs = ray.get(bref)
+        start = offs[np.searchsorted(firsts, b["shuffle_key"][0].as_py())]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "rank": pa.array(np.arange(start, start + b.num_rows), pa.int64()),
+        })
+
+    return sorted_ds.map_batches(stamp, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def events_hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time window: 60-minute windows every 30
+    minutes — each event contributes to exactly two windows, materialized by
+    a per-block flat-map into (window_start, user) partials, then the keyed
+    tree-agg final."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    HOP_US = 30 * 60 * 1_000_000
+    WIN_US = 2 * HOP_US
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        # each event lands in the two windows starting at the last two
+        # 30-min boundaries at-or-before ts (60-min span covers both)
+        outs = [pa.table({
+            "user_id": pa.array(uid),
+            "window_start": pa.array(((ts // HOP_US) - k) * HOP_US,
+                                     pa.int64()),
+            "value": pa.array(val),
+        }) for k in (0, 1)]
+        x = pa.concat_tables(outs)
+        df = x.to_pandas().groupby(["user_id", "window_start"],
+                                   sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["user_id", "window_start"],
+                                  sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")).reset_index()
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        ws = pa.array(out["window_start"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]"))
+        out = out.set_column(out.schema.get_field_index("window_start"),
+                             "window_start", ws)
+        return out.set_column(out.schema.get_field_index("sum_value"),
+                              "sum_value", _round2(out["sum_value"]))
+
+    return _tree_agg(ds, explode, final, bucket_on="user_id")
+
+
 def paged_source_demo(sf_dir: str):
     """S7: token-paginated source drained into a Dataset — pages the
     customer table 500 rows at a time through the pagination protocol
@@ -865,6 +966,9 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "multimodal_features": multimodal_features,
     "paged_source_demo": paged_source_demo,
+    "train_val_split": train_val_split,
+    "deterministic_shuffle": deterministic_shuffle,
+    "events_hopping_window": events_hopping_window,
 }
 
 
@@ -1105,6 +1209,32 @@ ORACLE_SQL.update({
         SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n,
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM s GROUP BY 1, 2
+    """,
+    "train_val_split": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || SUBSTR(MD5(text), 1, 8))::UBIGINT % 20 = 0
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "deterministic_shuffle": """
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY MD5(doc_id || '|' || text)) - 1
+                   AS rank
+        FROM documents
+    """,
+    "events_hopping_window": """
+        WITH w AS (
+          SELECT user_id, value,
+                 TIME_BUCKET(INTERVAL '30 minutes', ts) AS window_start
+          FROM events
+          UNION ALL
+          SELECT user_id, value,
+                 TIME_BUCKET(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes'
+          FROM events)
+        SELECT user_id, window_start, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM w GROUP BY 1, 2
     """,
     "embedding_neardup_pairs": f"""
         WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
