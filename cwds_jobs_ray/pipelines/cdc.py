@@ -123,6 +123,7 @@ class CDCJob:
         manifest = Manifest.new(prior_P)
         manifest.job_mode = INITIAL_RESUME
         manifest.base_path = base_path
+        manifest.merge_policy = self.merge_policy
         manifest.commit(self.table_dir)  # records that an initial load started
 
         if base_path is not None:
@@ -195,6 +196,11 @@ class CDCJob:
         manifest = manifest or Manifest.load(self.table_dir)
         if manifest is None:
             raise RuntimeError("no manifest: run initial_load first")
+        if manifest.merge_policy != self.merge_policy:
+            raise RuntimeError(
+                f"table was built with merge_policy={manifest.merge_policy!r} "
+                f"but this job is configured {self.merge_policy!r} — delta "
+                "files are only meaningful under the policy that wrote them")
         segments = list_segments(self.wal_dir)
         batches = plan_batches(segments, manifest.applied_through_lsn,
                                self.events_per_batch)
@@ -296,6 +302,7 @@ class CDCJob:
             table_schema_b64=schema_to_b64(target),
             applied_through_lsn=max(manifest.applied_through_lsn,
                                     max(s.max_lsn for s in batch)),
+            merge_policy=manifest.merge_policy,
             retired_counters=dict(manifest.retired_counters),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
@@ -388,7 +395,7 @@ class CDCJob:
             raise RuntimeError("nothing to compact: no manifest")
         version = manifest.table_version + 1
         disk = self._disk_schema(manifest)
-        policy = self.merge_policy
+        policy = manifest.merge_policy
 
         def compact_one(part: int, base_rel: str | None, delta_rels: list[str],
                         table_dir: str) -> tuple[int, str, int, int]:
@@ -436,6 +443,7 @@ class CDCJob:
             table_columns=manifest.table_columns,
             table_schema_b64=manifest.table_schema_b64,
             applied_through_lsn=manifest.applied_through_lsn,
+            merge_policy=manifest.merge_policy,
             retired_counters=dict(manifest.retired_counters),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
@@ -486,7 +494,7 @@ class CDCJob:
             if p.file or p.delta_files:
                 slice_refs.append(split_task.remote(
                     self.table_dir, p.file, list(p.delta_files), disk,
-                    new_num_partitions, G, self.merge_policy))
+                    new_num_partitions, G, manifest.merge_policy))
         if n_groups == 1:
             slice_refs = [[r] for r in slice_refs]
         stats_refs = [
@@ -513,6 +521,7 @@ class CDCJob:
             table_columns=manifest.table_columns,
             table_schema_b64=manifest.table_schema_b64,
             applied_through_lsn=manifest.applied_through_lsn,
+            merge_policy=manifest.merge_policy,
             retired_counters=retired,
             partitions={str(i): PartitionState(lsn_watermark=wm)
                         for i in range(new_num_partitions)},
@@ -623,7 +632,7 @@ class CDCJob:
         if merged:
             task = ray.remote(merge_on_read)
             refs = [task.remote(self.table_dir, f, d, full, cols,
-                                self.merge_policy) for f, d in merged]
+                                manifest.merge_policy) for f, d in merged]
             parts.append(ray.data.from_arrow_refs(refs))
         if not parts:
             return ray.data.from_arrow(
@@ -646,7 +655,7 @@ class CDCJob:
             if p.file or p.delta_files:
                 tables.append(merge_on_read(self.table_dir, p.file,
                                             list(p.delta_files), full, cols,
-                                            self.merge_policy))
+                                            manifest.merge_policy))
         if not tables:
             return TRANSCRIPT_SCHEMA.empty_table()
         out = pa.concat_tables(tables)

@@ -71,6 +71,10 @@ class Manifest:
     # routing, so a mismatch (library upgrade, algo change) must fail fast
     # instead of silently mis-routing keys (stale/duplicate rows)
     hash_algo: str = "fnv1a64-fmix-v1"
+    # conflict-resolution policy the table was built with ("lww"/"fww") —
+    # delta files are only meaningful under the policy that wrote them, so
+    # readers take it from HERE and a job configured differently fails fast
+    merge_policy: str = "lww"
     # cumulative counters from BEFORE a reshard (per-partition counters
     # cannot be attributed to new partitions, so totals carry here)
     retired_counters: dict[str, int] = field(default_factory=dict)

@@ -259,3 +259,27 @@ def test_reshard_keeps_tombstone_protection(workdir):
     got = job2.read_table_arrow().to_pandas()
     key = got[(got["conv_id"] == "c000001") & (got["turn_idx"] == 0)]
     assert key.empty, "older out-of-order update resurrected a deleted key"
+
+
+def test_merge_policy_recorded_and_enforced(workdir):
+    """The conflict policy is part of the committed table: readers use the
+    manifest's policy regardless of their own default, and a job configured
+    with a different policy fails fast instead of mis-merging deltas."""
+    d, job = _mk_job(workdir, BIG_BASE, events_per_batch=10,
+                     merge_policy="fww")
+    m = job.run(base_path=d["base_path"])
+    assert any(m.part(i).delta_files for i in range(P))
+    o = replay(d["base"], d["wal"], P, policy="fww")
+    # a reader constructed with the DEFAULT (lww) policy still merges fww
+    reader = CDCJob(job.table_dir, wal_dir="/nonexistent")
+    assert reader.read_table_arrow().select(
+        o.final.column_names).equals(o.final)
+    # but applying with the wrong policy is refused
+    import pyarrow.parquet as pq_
+    seg = pq_.read_table(os.path.join(workdir, "wal",
+                                      sorted(os.listdir(
+                                          os.path.join(workdir, "wal")))[0]))
+    wrong = CDCJob(job.table_dir, os.path.join(workdir, "wal"),
+                   merge_policy="lww")
+    with pytest.raises(RuntimeError, match="merge_policy"):
+        wrong.apply_wal()
