@@ -204,13 +204,35 @@ class CDCJob:
         segments = list_segments(self.wal_dir)
         batches = plan_batches(segments, manifest.applied_through_lsn,
                                self.events_per_batch)
+        # whole segments below the watermark are skipped by footer planning
+        # (skipping IS the dedup) — but their rows must still be COUNTED as
+        # replay, from footer metadata alone. The filename high-water mark
+        # makes the accounting exactly-once across runs/crashes.
+        new_skipped = [
+            s for s in segments
+            if os.path.basename(s.path) > manifest.last_segment_seen
+            and s.max_lsn <= manifest.applied_through_lsn]
+        skip_rows = sum(s.rows for s in new_skipped)
+        skip_seen = max((os.path.basename(s.path) for s in new_skipped),
+                        default="")
+        if skip_rows and not batches:
+            # no batch commit will carry the accounting: commit it directly
+            manifest.retired_counters["replay_skipped"] = \
+                manifest.retired_counters.get("replay_skipped", 0) + skip_rows
+            manifest.last_segment_seen = max(manifest.last_segment_seen,
+                                             skip_seen)
+            manifest.commit(self.table_dir)
+            skip_rows, skip_seen = 0, ""
         total_rows = sum(s.rows for b in batches for s in b)
         done_rows = 0
         import time as _time
         t0 = _time.perf_counter()
         for i, batch in enumerate(batches):
             manifest = self.apply_batch(batch, manifest,
-                                        on_before_commit=on_before_commit)
+                                        on_before_commit=on_before_commit,
+                                        extra_replay_skipped=skip_rows,
+                                        extra_segment_seen=skip_seen)
+            skip_rows, skip_seen = 0, ""  # folded into the first commit
             # progress / ETA (reference A5: TimeLeftEstimationProvider.java)
             done_rows += sum(s.rows for s in batch)
             el = _time.perf_counter() - t0
@@ -231,6 +253,8 @@ class CDCJob:
         batch: list[SegmentInfo],
         manifest: Manifest,
         on_before_commit: Callable[[Manifest], None] | None = None,
+        extra_replay_skipped: int = 0,
+        extra_segment_seen: str = "",
     ) -> Manifest:
         """Apply one batch of whole WAL segments; advance manifest atomically."""
         version = manifest.table_version + 1
@@ -291,6 +315,10 @@ class CDCJob:
 
         target_cols = [f.name for f in target]
         prev_cols = manifest.table_columns or [f.name for f in TRANSCRIPT_SCHEMA]
+        retired = dict(manifest.retired_counters)
+        if extra_replay_skipped:
+            retired["replay_skipped"] = (retired.get("replay_skipped", 0)
+                                         + extra_replay_skipped)
         new_m = Manifest(
             job_mode=manifest.job_mode,
             table_version=version,
@@ -303,7 +331,10 @@ class CDCJob:
             applied_through_lsn=max(manifest.applied_through_lsn,
                                     max(s.max_lsn for s in batch)),
             merge_policy=manifest.merge_policy,
-            retired_counters=dict(manifest.retired_counters),
+            retired_counters=retired,
+            last_segment_seen=max(
+                [manifest.last_segment_seen, extra_segment_seen]
+                + [os.path.basename(s.path) for s in batch]),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
         touched = set()
@@ -445,6 +476,7 @@ class CDCJob:
             applied_through_lsn=manifest.applied_through_lsn,
             merge_policy=manifest.merge_policy,
             retired_counters=dict(manifest.retired_counters),
+            last_segment_seen=manifest.last_segment_seen,
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
         for part, rel, live, total in ray.get(refs):
@@ -523,6 +555,7 @@ class CDCJob:
             applied_through_lsn=manifest.applied_through_lsn,
             merge_policy=manifest.merge_policy,
             retired_counters=retired,
+            last_segment_seen=manifest.last_segment_seen,
             partitions={str(i): PartitionState(lsn_watermark=wm)
                         for i in range(new_num_partitions)},
         )

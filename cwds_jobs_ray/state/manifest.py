@@ -76,8 +76,14 @@ class Manifest:
     # readers take it from HERE and a job configured differently fails fast
     merge_policy: str = "lww"
     # cumulative counters from BEFORE a reshard (per-partition counters
-    # cannot be attributed to new partitions, so totals carry here)
+    # cannot be attributed to new partitions, so totals carry here) — also
+    # holds replay_skipped rows of whole segments skipped by footer planning
+    # (never read, so never attributable to a partition)
     retired_counters: dict[str, int] = field(default_factory=dict)
+    # highest WAL segment filename already accounted for (applied or
+    # skip-counted) — segments are produced in filename order, so anything
+    # at-or-below this has been either applied or counted as replay
+    last_segment_seen: str = ""
     partitions: dict[str, PartitionState] = field(default_factory=dict)
 
     FILENAME = "manifest.json"

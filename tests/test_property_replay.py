@@ -73,3 +73,54 @@ def test_random_wal_matches_oracle(tmp_path_factory, events, epb):
     assert m.total("rows_applied") == o.rows_applied
     assert (m.total("dedup_count") + m.total("replay_skipped")
             == o.dedup_count)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(event_st, min_size=1, max_size=25),
+       epb=st.sampled_from([1, 5, 10**9]),
+       combine_size=st.sampled_from([1, 3, 10**9]),
+       delta_threshold=st.sampled_from([0.0, 0.5, 10.0]),
+       max_deltas=st.sampled_from([1, 3, 100]),
+       reshard_to=st.sampled_from([None, 2, 7]))
+def test_random_wal_with_delta_and_reshard_knobs(tmp_path_factory, events,
+                                                 epb, combine_size,
+                                                 delta_threshold, max_deltas,
+                                                 reshard_to):
+    """The full knob space — batch granularity, combine chunking, delta-file
+    thresholds, tiering, and a mid-stream reshard — must never change the
+    final state or the counters vs the single-pass oracle."""
+    workdir = str(tmp_path_factory.mktemp("propk"))
+    base = make_base(WalSpec(seed=1, n_convs=2, turns_per_conv=2))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+    wal = _wal_from_events(events)
+    half = wal.num_rows // 2
+    wal_dir = os.path.join(workdir, "wal")
+    write_wal_segments(wal.slice(0, half), wal_dir, max(1, min(2, half)))
+    job = CDCJob(os.path.join(workdir, "table"), wal_dir,
+                 num_partitions=4, events_per_batch=epb,
+                 combine_batch_size=combine_size,
+                 delta_threshold=delta_threshold, max_delta_files=max_deltas)
+    job.run(base_path=base_path)
+    P = 4
+    if reshard_to is not None:
+        job.reshard(reshard_to)
+        P = reshard_to
+        job = CDCJob(job.table_dir, wal_dir, num_partitions=P,
+                     events_per_batch=epb, combine_batch_size=combine_size,
+                     delta_threshold=delta_threshold,
+                     max_delta_files=max_deltas)
+    # second wave of segments lands after the (optional) reshard
+    rest = wal.slice(half)
+    if rest.num_rows:
+        import pyarrow.parquet as pq_
+        pq_.write_table(rest, os.path.join(wal_dir, "segment-99999.parquet"))
+    m = job.run()
+    o = replay(base, wal, P)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    assert m.total("conflict_count") == o.conflict_count
+    assert m.total("rows_applied") == o.rows_applied
+    assert (m.total("dedup_count") + m.total("replay_skipped")
+            == o.dedup_count)
