@@ -18,7 +18,20 @@ derives only the *semantics* (watermarks, I/U/D application, initial-vs-
 incremental modes, crash resume, atomic publish) from it.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):  # lazy public API (keeps bare import Ray-free)
+    if name == "CDCJob":
+        from .pipelines.cdc import CDCJob
+        return CDCJob
+    if name == "Manifest":
+        from .state.manifest import Manifest
+        return Manifest
+    if name == "load_config":
+        from .config import load_config
+        return load_config
+    raise AttributeError(name)
 
 # Ray provides the parallelism (one task per core); nested thread pools
 # inside workers only thrash. Polars reads this at import time — set it

@@ -251,7 +251,6 @@ def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
     idref = ray.put(cand_ids)
 
     def pick(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         ids = ray.get(idref)
         keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
         return t.filter(pa.array(keep))
