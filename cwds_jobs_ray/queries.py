@@ -780,10 +780,15 @@ COSINE_NEARDUP_THRESHOLD = 0.5
 
 
 def embedding_neardup_pairs(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs over a threshold."""
+    """Embedding-cosine near-duplicate pairs over a threshold (exact
+    distributed block-pair sweep; see functions/ann.py)."""
     from .functions.ann import cosine_neardup_pairs
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
+    df = cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD).to_pandas()
+    if df.empty:  # all-empty blocks lose their schema through to_pandas
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64")})
+    return df
 
 
 def train_val_split(sf_dir: str):
