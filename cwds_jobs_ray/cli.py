@@ -79,11 +79,13 @@ def main(argv: list[str] | None = None) -> int:
             "job_mode": m.job_mode,
             "table_version": m.table_version,
             "schema_version": m.schema_version,
+            "num_partitions": m.num_partitions,
             "applied_through_lsn": m.applied_through_lsn,
             "rows": m.total("rows_applied"),
             "dedup": m.total("dedup_count"),
             "conflicts": m.total("conflict_count"),
             "replay_skipped": m.total("replay_skipped"),
+            "recent_batches": m.batch_history[-5:],
         }))
         return 0
 

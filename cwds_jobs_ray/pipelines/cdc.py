@@ -257,6 +257,8 @@ class CDCJob:
         extra_segment_seen: str = "",
     ) -> Manifest:
         """Apply one batch of whole WAL segments; advance manifest atomically."""
+        import time as _time
+        batch_t0 = _time.perf_counter()
         version = manifest.table_version + 1
         change_schema = batch_schema(batch)
         target = _evolve_schema(manifest, change_schema, self.table_dir)
@@ -357,13 +359,27 @@ class CDCJob:
                 p.delta_files = p.delta_files + [r["delta_file"]]
                 p.delta_rows += int(r["delta_rows_new"])
         # untouched partitions carry their committed file forward unchanged
-        if on_before_commit is not None:
-            on_before_commit(new_m)
-        new_m.commit(self.table_dir)
         # per-task skew stats: the block-level LWW pre-combine bounds each
         # merge task's input to distinct-keys-per-chunk, so even a viral key
         # keeps max/mean near 1 (see SURVEY §4.2 measurement)
         rows_in = stats_df["rows_in"] if len(stats_df) else pd.Series([0])
+        wall = _time.perf_counter() - batch_t0
+        events = int(sum(s.rows for s in batch))
+        new_m.batch_history = (manifest.batch_history + [{
+            "version": version,
+            "segments": len(batch),
+            "events": events,
+            "wall_s": round(wall, 3),
+            "events_per_s": round(events / wall, 1) if wall > 0 else 0.0,
+            "dedup": int(stats_df["dedup_count"].sum() or 0),
+            "conflicts": int(stats_df["conflict_count"].sum() or 0),
+            "replay_skipped": int(stats_df["replay_skipped"].sum() or 0),
+            "skew_max_over_mean": round(
+                float(rows_in.max()) / max(1.0, float(rows_in.mean())), 2),
+        }])[-Manifest.BATCH_HISTORY_CAP:]
+        if on_before_commit is not None:
+            on_before_commit(new_m)
+        new_m.commit(self.table_dir)
         logger.info(
             "committed v%d: %d partitions touched; merge-input skew "
             "max/mean=%.2f (max=%d rows)", version, len(touched),
@@ -477,6 +493,7 @@ class CDCJob:
             merge_policy=manifest.merge_policy,
             retired_counters=dict(manifest.retired_counters),
             last_segment_seen=manifest.last_segment_seen,
+            batch_history=list(manifest.batch_history),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
         for part, rel, live, total in ray.get(refs):
@@ -556,6 +573,7 @@ class CDCJob:
             merge_policy=manifest.merge_policy,
             retired_counters=retired,
             last_segment_seen=manifest.last_segment_seen,
+            batch_history=list(manifest.batch_history),
             partitions={str(i): PartitionState(lsn_watermark=wm)
                         for i in range(new_num_partitions)},
         )

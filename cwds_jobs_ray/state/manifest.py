@@ -84,6 +84,12 @@ class Manifest:
     # skip-counted) — segments are produced in filename order, so anything
     # at-or-below this has been either applied or counted as replay
     last_segment_seen: str = ""
+    # rolling per-batch metrics (most recent BATCH_HISTORY_CAP entries):
+    # the reference's progress/ETA surface (TimeLeftEstimationProvider),
+    # persisted so `status` can show throughput without scraping logs
+    batch_history: list = field(default_factory=list)
+
+    BATCH_HISTORY_CAP = 50
     partitions: dict[str, PartitionState] = field(default_factory=dict)
 
     FILENAME = "manifest.json"

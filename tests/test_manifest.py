@@ -104,3 +104,25 @@ def test_read_table_without_manifest_raises(workdir):
     job = CDCJob(workdir + "/nope", wal_dir="/nonexistent")
     with _pytest.raises(RuntimeError, match="no manifest"):
         job.read_table()
+
+
+def test_batch_history_recorded_and_capped(workdir):
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.synth import WalSpec, synthesize
+
+    spec = WalSpec(seed=81, n_convs=10, turns_per_conv=2, n_events=120,
+                   n_segments=60, dup_redelivery_frac=0.1)
+    d = synthesize(spec, workdir)
+    job = CDCJob(os.path.join(workdir, "table"),
+                 os.path.join(workdir, "wal"),
+                 num_partitions=2, events_per_batch=2)  # 60 batches
+    m = job.run(base_path=d["base_path"])
+    # capped at 50 entries, most recent last, fields populated
+    assert len(m.batch_history) == Manifest.BATCH_HISTORY_CAP
+    last = m.batch_history[-1]
+    assert last["version"] == m.table_version
+    assert last["events"] > 0 and last["wall_s"] > 0
+    assert sum(h["events"] for h in m.batch_history) <= 126  # incl. dups
+    # round-trips through the JSON manifest
+    m2 = Manifest.load(job.table_dir)
+    assert m2.batch_history == m.batch_history
