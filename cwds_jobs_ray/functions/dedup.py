@@ -29,8 +29,11 @@ N_BUCKETS = 64  # coarse shuffle buckets for keyed finals (tune ~ cluster size)
 
 # ------------------------------------------------------------------ exact
 
-def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Keep the lowest doc_id per exact text; emit copy count.
+def exact_dedup(ds: ray.data.Dataset,
+                keep_cols: list[str] | None = None) -> ray.data.Dataset:
+    """Keep the lowest doc_id per exact text; emit copy count (plus the
+    winner row's ``keep_cols``, e.g. the text itself for downstream near-dup
+    stages — identical text implies identical derived columns).
 
     Scale shape: per-block pre-reduce (distinct texts per block) -> shuffle
     keyed by content hash into coarse buckets -> vectorized per-bucket
@@ -39,19 +42,23 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     """
     from ..stages.partition import hash_strings
 
+    keep = [c for c in (keep_cols or []) if c != "text"]
+    out_cols = ["doc_id", "n_copies"] + list(keep_cols or [])
+
     def pre(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("text", sort=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")).reset_index()
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
+            **{c: (c, "first") for c in keep}).reset_index()
         out = pa.Table.from_pandas(g, preserve_index=False)
         bucket = (hash_strings(out["text"]) % np.uint64(N_BUCKETS)).astype(np.int64)
         return out.append_column("bucket", pa.array(bucket))
 
     def final(bucket_tbl: pa.Table) -> pa.Table:
         g = bucket_tbl.to_pandas().groupby("text", sort=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")).reset_index()
-        return pa.Table.from_pandas(g[["doc_id", "n_copies"]],
-                                    preserve_index=False)
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"),
+            **{c: (c, "first") for c in keep}).reset_index()
+        return pa.Table.from_pandas(g[out_cols], preserve_index=False)
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
     return pre_ds.groupby("bucket").map_groups(final, batch_format="pyarrow")

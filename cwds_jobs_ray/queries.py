@@ -791,6 +791,79 @@ def embedding_neardup_pairs(sf_dir: str):
     return df
 
 
+CLEAN_MIN_WORDS = 5
+CLEAN_MIN_STOPWORDS = 3
+TOKEN_BUDGET_PER_LANG = 20_000
+
+
+def clean_corpus(sf_dir: str):
+    """The composed training-data cleaning pipeline (CCNet/RefinedWeb
+    shape): quality gate -> exact dedup -> near-dup canonicalization, each
+    stage the shuffle-true operator shipped elsewhere in this catalog, all
+    verified end-to-end against one SQL oracle.
+
+    1. gate: >= 5 words and >= 3 EN stopword markers;
+    2. exact dedup: lowest doc_id per identical text (content-hash buckets);
+    3. near-dup: LSH-verified word-set Jaccard >= 0.95 clusters; only the
+       canonical doc (cluster_id == doc_id, i.e. min id) survives.
+    Output: (doc_id, n_words) of the clean corpus.
+    """
+    from .functions.dedup import connected_components, exact_dedup, \
+        lsh_verified_pairs
+    from .functions.text import _marker_counts, n_words as _nw
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        nw = _nw(t["text"]).to_numpy(zero_copy_only=False)
+        stops = _marker_counts(t["text"])
+        keep = (nw >= CLEAN_MIN_WORDS) & (stops >= CLEAN_MIN_STOPWORDS)
+        out = t.append_column("n_words", pa.array(nw, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=4096)
+    winners = exact_dedup(gated, keep_cols=["text", "n_words"]).materialize()
+    pairs = lsh_verified_pairs(winners.select_columns(["doc_id", "text"]),
+                               JACCARD_THRESHOLD, shingle=1)
+    clusters = connected_components(pairs)
+    # non-canonical near-dups (a tiny set: only duplicated docs) -> drop
+    noncanon = {int(r["doc_id"]) for r in clusters.take_all()
+                if r["doc_id"] != r["cluster_id"]}
+    ref = ray.put(np.array(sorted(noncanon), dtype=np.int64))
+
+    def drop_noncanon(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.select(["doc_id", "n_words"]).filter(
+            pa.array(~np.isin(ids, bad)))
+
+    return winners.map_batches(drop_noncanon, batch_format="pyarrow")
+
+
+def sample_by_token_budget(sf_dir: str):
+    """Token-budget corpus sampling: per language, take the longest docs
+    (deterministic tiebreak on doc_id) until the cumulative token count
+    exceeds the budget. Languages are a bounded key set, so this is a
+    per-lang grouped vectorized cumsum — one keyed shuffle, no driver
+    funnel."""
+    from .functions.text import n_words as _nw
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def add_nw(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_words": _nw(t["text"]).cast(pa.int64())})
+
+    def budgeted(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_words", "doc_id"], ascending=[False, True],
+                          kind="stable")
+        keep = g["n_words"].cumsum() <= TOKEN_BUDGET_PER_LANG
+        return g[keep][["doc_id", "lang", "n_words"]]
+
+    return (ds.map_batches(add_nw, batch_format="pyarrow", batch_size=4096)
+            .groupby("lang").map_groups(budgeted, batch_format="pandas"))
+
+
 def train_val_split(sf_dir: str):
     """Deterministic content-hash train/val split (the training-data split
     must be a pure function of the record, never of row order): bucket =
@@ -974,6 +1047,8 @@ QUERIES = {
     "train_val_split": train_val_split,
     "deterministic_shuffle": deterministic_shuffle,
     "events_hopping_window": events_hopping_window,
+    "clean_corpus": clean_corpus,
+    "sample_by_token_budget": sample_by_token_budget,
 }
 
 
@@ -1214,6 +1289,44 @@ ORACLE_SQL.update({
         SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n,
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM s GROUP BY 1, 2
+    """,
+    "clean_corpus": f"""
+        WITH RECURSIVE g AS (
+          SELECT doc_id, text, {_NW_SQL} AS n_words FROM documents
+          WHERE {_NW_SQL} >= {CLEAN_MIN_WORDS}
+            AND {_NSTOP_SQL} >= {CLEAN_MIN_STOPWORDS}),
+        e AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY text),
+        s AS (SELECT g.doc_id, g.text, g.n_words
+              FROM g JOIN e ON g.doc_id = e.doc_id),
+        d AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
+              FROM s),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE LEN(LIST_INTERSECT(a.w, b.w))::DOUBLE
+                    / (LEN(a.w) + LEN(b.w) - LEN(LIST_INTERSECT(a.w, b.w)))
+                    >= {JACCARD_THRESHOLD}),
+        ed AS (SELECT doc_a AS u, doc_b AS v FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+        walk(u, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+          UNION
+          SELECT ed.u, walk.label FROM ed JOIN walk ON ed.v = walk.u),
+        cl AS (SELECT u AS doc_id, MIN(label) AS cluster_id
+               FROM walk GROUP BY u)
+        SELECT s.doc_id, s.n_words FROM s
+        LEFT JOIN cl ON s.doc_id = cl.doc_id
+        WHERE cl.cluster_id IS NULL OR cl.cluster_id = s.doc_id
+    """,
+    "sample_by_token_budget": f"""
+        WITH x AS (
+          SELECT doc_id, lang, {_NW_SQL} AS n_words,
+                 SUM({_NW_SQL}) OVER (
+                   PARTITION BY lang
+                   ORDER BY {_NW_SQL} DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT doc_id, lang, n_words FROM x
+        WHERE cum <= {TOKEN_BUDGET_PER_LANG}
     """,
     "train_val_split": """
         SELECT doc_id,
