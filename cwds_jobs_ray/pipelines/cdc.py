@@ -52,6 +52,28 @@ from ..state.manifest import (
 logger = logging.getLogger(__name__)
 
 
+def _with_writer_lock(fn):
+    """Serialize mutating entry points per table (reentrant within one job
+    instance): a second instance's startup GC must never race another's
+    uncommitted writes. See state.manifest.TableLock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        if self._locked:
+            return fn(self, *args, **kwargs)
+        from ..state.manifest import TableLock
+
+        with TableLock(self.table_dir):
+            self._locked = True
+            try:
+                return fn(self, *args, **kwargs)
+            finally:
+                self._locked = False
+
+    return wrapper
+
+
 class CDCJob:
     """One logical lake table maintained from a WAL of change events."""
 
@@ -79,8 +101,10 @@ class CDCJob:
         # instead of rewriting the partition base (merge-on-read)
         self.delta_threshold = delta_threshold
         self.max_delta_files = max_delta_files
+        self._locked = False  # writer-lock reentrancy flag
 
     # ------------------------------------------------------------------ run
+    @_with_writer_lock
     def run(
         self,
         base_path: str | None = None,
@@ -110,6 +134,7 @@ class CDCJob:
         return self.apply_wal(manifest, on_before_commit=on_before_commit)
 
     # --------------------------------------------------------- initial load
+    @_with_writer_lock
     def initial_load(self, base_path: str | None, manifest: Manifest | None) -> Manifest:
         """Hash-partition the base snapshot into immutable v0 files.
 
@@ -188,6 +213,7 @@ class CDCJob:
         return manifest
 
     # ------------------------------------------------------------ wal drain
+    @_with_writer_lock
     def apply_wal(
         self,
         manifest: Manifest | None = None,
@@ -425,6 +451,7 @@ class CDCJob:
                 return manifest
 
     # ----------------------------------------------------------- compaction
+    @_with_writer_lock
     def compact(self, tombstone_horizon_lsn: int) -> Manifest:
         """Fold every partition's delta files into its base and drop
         tombstones with lsn <= horizon.
@@ -508,6 +535,7 @@ class CDCJob:
         return new_m
 
     # ------------------------------------------------------------ resharding
+    @_with_writer_lock
     def reshard(self, new_num_partitions: int) -> Manifest:
         """Change the table's partition count (P is otherwise fixed at
         creation): every old partition's committed state — tombstones and lsn

@@ -167,6 +167,46 @@ class Manifest:
         return removed
 
 
+class TableLock:
+    """Advisory per-table writer lock (flock on ``table_dir/.lock``).
+
+    The reference relies on cron never overlapping job runs; here overlap is
+    guarded explicitly because a second instance's startup GC could remove
+    the first's not-yet-committed version files. Readers never take the
+    lock (committed state is immutable); only mutating entry points do.
+    """
+
+    def __init__(self, table_dir: str):
+        self.path = os.path.join(table_dir, ".lock")
+        self._fd: int | None = None
+
+    def __enter__(self) -> "TableLock":
+        import fcntl
+
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            os.close(self._fd)
+            self._fd = None
+            raise RuntimeError(
+                f"another job instance holds the writer lock on "
+                f"{os.path.dirname(self.path)} — overlapping runs are not "
+                "allowed (the reference schedules jobs non-overlapping via "
+                "cron)") from e
+        os.write(self._fd, f"{os.getpid()}\n".encode())
+        return self
+
+    def __exit__(self, *exc) -> None:
+        import fcntl
+
+        if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+
+
 def resolve_job_mode(manifest: Manifest | None) -> str:
     """Mode resolution per the reference state machine
     (AbstractJobModeService.java:29-50)."""

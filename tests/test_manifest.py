@@ -126,3 +126,28 @@ def test_batch_history_recorded_and_capped(workdir):
     # round-trips through the JSON manifest
     m2 = Manifest.load(job.table_dir)
     assert m2.batch_history == m.batch_history
+
+
+def test_writer_lock_blocks_overlapping_instance(workdir):
+    """A second job instance must refuse to mutate a locked table (the
+    GC-vs-uncommitted-writes race guard)."""
+    import pytest as _pytest
+
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.state.manifest import TableLock
+    from cwds_jobs_ray.synth import WalSpec, synthesize
+
+    d = synthesize(WalSpec(seed=91, n_convs=4, turns_per_conv=2,
+                           n_events=20, n_segments=1), workdir)
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=2)
+    job.run(base_path=d["base_path"])  # acquires and releases
+
+    with TableLock(job.table_dir):  # simulate a concurrent holder
+        other = CDCJob(job.table_dir, job.wal_dir, num_partitions=2)
+        with _pytest.raises(RuntimeError, match="writer lock"):
+            other.run()
+        with _pytest.raises(RuntimeError, match="writer lock"):
+            other.compact(10**9)
+    # released -> works again
+    job.run()
