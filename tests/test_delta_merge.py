@@ -283,3 +283,36 @@ def test_merge_policy_recorded_and_enforced(workdir):
                    merge_policy="lww")
     with pytest.raises(RuntimeError, match="merge_policy"):
         wrong.apply_wal()
+
+
+def test_merge_task_is_idempotent_under_retry(workdir):
+    """Ray retries a failed merge task from scratch: running the same merge
+    twice must produce byte-identical files and identical stats (pure
+    function of committed state + delta group; atomic deterministic path)."""
+    import pyarrow.compute as pc
+
+    from cwds_jobs_ray.schema import CHANGE_SCHEMA_V2
+    from cwds_jobs_ray.stages.merge import (make_combiner,
+                                            make_partition_merger)
+    from cwds_jobs_ray.synth import WalSpec, make_base, make_wal
+
+    base = make_base(WalSpec(seed=61, n_convs=6, turns_per_conv=2))
+    wal = make_wal(WalSpec(seed=61, n_convs=6, turns_per_conv=2,
+                           n_events=50, dup_redelivery_frac=0.2,
+                           out_of_order_frac=0.2))
+    table_dir = os.path.join(workdir, "table")
+    os.makedirs(table_dir)
+    combine = make_combiner(CHANGE_SCHEMA_V2, 2)
+    combined = combine(wal)
+    group = combined.filter(pc.equal(combined["part"], 0))
+    from cwds_jobs_ray.schema import TRANSCRIPT_SCHEMA
+    merger = make_partition_merger(table_dir, 1, TRANSCRIPT_SCHEMA,
+                                   {0: 0, 1: 0}, {})
+    s1 = merger(group)
+    with open(os.path.join(table_dir, s1.iloc[0]["file"]), "rb") as f:
+        bytes1 = f.read()
+    s2 = merger(group)  # the "retry"
+    with open(os.path.join(table_dir, s2.iloc[0]["file"]), "rb") as f:
+        bytes2 = f.read()
+    assert s1.equals(s2)
+    assert bytes1 == bytes2
