@@ -483,3 +483,28 @@ def test_viral_key_shuffle_rows_bounded_by_blocks(workdir):
     o = replay(d["base"], d["wal"], P)
     assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
     assert m.total("conflict_count") == o.conflict_count
+
+
+def test_initial_load_from_directory_snapshot(workdir):
+    """Base snapshot as a DIRECTORY of parquet files (the multi-file export
+    case) must load identically to a single-file snapshot."""
+    import pyarrow.parquet as pq
+
+    spec = WalSpec(seed=71, n_convs=20, turns_per_conv=3, n_events=100,
+                   n_segments=2, dup_redelivery_frac=0.1)
+    d = synthesize(spec, workdir)
+    base = d["base"]
+    base_dir = os.path.join(workdir, "base_multi")
+    os.makedirs(base_dir)
+    half = base.num_rows // 2
+    pq.write_table(base.slice(0, half),
+                   os.path.join(base_dir, "part-000.parquet"))
+    pq.write_table(base.slice(half),
+                   os.path.join(base_dir, "part-001.parquet"))
+
+    job = CDCJob(os.path.join(workdir, "table"), os.path.join(workdir, "wal"),
+                 num_partitions=4, events_per_batch=10**9)
+    m = job.run(base_path=base_dir)
+    o = replay(base, d["wal"], 4)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m.total("rows_applied") == o.rows_applied
