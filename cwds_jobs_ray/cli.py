@@ -109,9 +109,10 @@ def main(argv: list[str] | None = None) -> int:
             cfg["num_partitions"] = args.partitions
         if args.events_per_batch is not None:
             cfg["events_per_batch"] = args.events_per_batch
-        for req in ("table_dir", "wal_dir"):
-            if not cfg.get(req):
-                p.error(f"{req} required (flag or config file)")
+        if not cfg.get("table_dir"):
+            p.error("table_dir required (flag or config file)")
+        if not cfg.get("wal_dir") and not cfg.get("wal_sources"):
+            p.error("wal_dir or wal_sources required (flag or config file)")
         job = job_from_config(cfg)
         base = args.base or cfg.get("base_path") or None
         fcfg = cfg.get("follow", {})

@@ -21,7 +21,10 @@ _SUBST = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
 # key -> (type, required). Mirrors CDCJob's constructor plus run options.
 SCHEMA: dict[str, tuple[type, bool]] = {
     "table_dir": (str, True),
-    "wal_dir": (str, True),
+    "wal_dir": (str, False),
+    # multi-source CDC: {source_name: wal_dir} (composite savepoints);
+    # exactly one of wal_dir / wal_sources is required
+    "wal_sources": (dict, False),
     "base_path": (str, False),
     "num_partitions": (int, False),
     "events_per_batch": (int, False),
@@ -110,6 +113,12 @@ def load_config(path: str) -> dict:
     if cfg.get("merge_policy") not in (None, "lww", "fww"):
         raise ConfigError(
             f"merge_policy must be lww or fww, got {cfg['merge_policy']!r}")
+    if bool(cfg.get("wal_dir")) == bool(cfg.get("wal_sources")):
+        raise ConfigError("exactly one of wal_dir / wal_sources is required")
+    if "wal_sources" in cfg:
+        for k, v in cfg["wal_sources"].items():
+            if not isinstance(v, str):
+                raise ConfigError(f"wal_sources.{k}: expected str, got {v!r}")
     return cfg
 
 
@@ -118,4 +127,5 @@ def job_from_config(cfg: dict):
     from .pipelines.cdc import CDCJob
 
     kwargs = {k: cfg[k] for k in JOB_KEYS if k in cfg}
-    return CDCJob(cfg["table_dir"], cfg["wal_dir"], **kwargs)
+    wal = cfg.get("wal_sources") or cfg["wal_dir"]
+    return CDCJob(cfg["table_dir"], wal, **kwargs)

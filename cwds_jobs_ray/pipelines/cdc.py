@@ -80,7 +80,7 @@ class CDCJob:
     def __init__(
         self,
         table_dir: str,
-        wal_dir: str,
+        wal_dir: str | list | dict,
         num_partitions: int = 16,
         events_per_batch: int = 500_000,
         combine_batch_size: int = 65_536,
@@ -90,7 +90,25 @@ class CDCJob:
         max_delta_files: int = 8,
     ):
         self.table_dir = table_dir
-        self.wal_dir = wal_dir
+        # multi-source CDC (the reference's composite-savepoint job shape,
+        # CapUsersSavePointService.java:40-47): wal_dir may be one dir, a
+        # list, or {source_name: dir}. With >1 source each source's raw lsns
+        # are namespaced into a disjoint effective range ((idx+1) << 48) so
+        # lsns stay globally unique; savepoints/watermarks are per source.
+        if isinstance(wal_dir, dict):
+            names = sorted(wal_dir)
+            dirs = [wal_dir[n] for n in names]
+        elif isinstance(wal_dir, (list, tuple)):
+            names = [f"src{i}" for i in range(len(wal_dir))]
+            dirs = list(wal_dir)
+        else:
+            names, dirs = ["default"], [wal_dir]
+        multi = len(names) > 1
+        self.wal_sources = {
+            n: (d, (i + 1) << 48 if multi else 0)
+            for i, (n, d) in enumerate(zip(names, dirs))
+        }
+        self.wal_dir = dirs[0]  # legacy single-source attribute
         self.num_partitions = num_partitions
         self.events_per_batch = events_per_batch
         self.combine_batch_size = combine_batch_size
@@ -227,17 +245,43 @@ class CDCJob:
                 f"table was built with merge_policy={manifest.merge_policy!r} "
                 f"but this job is configured {self.merge_policy!r} — delta "
                 "files are only meaningful under the policy that wrote them")
-        segments = list_segments(self.wal_dir)
-        batches = plan_batches(segments, manifest.applied_through_lsn,
-                               self.events_per_batch)
+        multi = len(self.wal_sources) > 1
+        for name in sorted(self.wal_sources):
+            wdir, ns = self.wal_sources[name]
+            manifest = self._apply_source(manifest, name, wdir, ns, multi,
+                                          on_before_commit)
+        # finalize: next run is incremental (reference initial-mode finalizer,
+        # .../CwsInitialJobModeFinalizer.java:34-45)
+        if manifest.job_mode != INCREMENTAL_LOAD:
+            manifest.job_mode = INCREMENTAL_LOAD
+            manifest.commit(self.table_dir)
+        return manifest
+
+    def _source_state(self, manifest: Manifest, source: str,
+                      multi: bool) -> tuple[int, str]:
+        """(applied_through_effective_lsn, last_segment_seen) for a source.
+        Single-source tables keep the flat legacy manifest fields."""
+        if not multi:
+            return manifest.applied_through_lsn, manifest.last_segment_seen
+        st = manifest.sources.get(source) or {}
+        return (int(st.get("applied_through_lsn", 0)),
+                str(st.get("last_segment_seen", "")))
+
+    def _apply_source(self, manifest: Manifest, source: str, wal_dir: str,
+                      lsn_namespace: int, multi: bool,
+                      on_before_commit) -> Manifest:
+        """Drain one change source's WAL (its own savepoint + watermarks —
+        the composite-savepoint model)."""
+        segments = list_segments(wal_dir, source, lsn_namespace)
+        applied, last_seen = self._source_state(manifest, source, multi)
+        batches = plan_batches(segments, applied, self.events_per_batch)
         # whole segments below the watermark are skipped by footer planning
         # (skipping IS the dedup) — but their rows must still be COUNTED as
         # replay, from footer metadata alone. The filename high-water mark
         # makes the accounting exactly-once across runs/crashes.
         new_skipped = [
             s for s in segments
-            if os.path.basename(s.path) > manifest.last_segment_seen
-            and s.max_lsn <= manifest.applied_through_lsn]
+            if os.path.basename(s.path) > last_seen and s.max_lsn <= applied]
         skip_rows = sum(s.rows for s in new_skipped)
         skip_seen = max((os.path.basename(s.path) for s in new_skipped),
                         default="")
@@ -245,8 +289,13 @@ class CDCJob:
             # no batch commit will carry the accounting: commit it directly
             manifest.retired_counters["replay_skipped"] = \
                 manifest.retired_counters.get("replay_skipped", 0) + skip_rows
-            manifest.last_segment_seen = max(manifest.last_segment_seen,
-                                             skip_seen)
+            if multi:
+                st = dict(manifest.sources.get(source) or {})
+                st["applied_through_lsn"] = applied
+                st["last_segment_seen"] = max(last_seen, skip_seen)
+                manifest.sources[source] = st
+            else:
+                manifest.last_segment_seen = max(last_seen, skip_seen)
             manifest.commit(self.table_dir)
             skip_rows, skip_seen = 0, ""
         total_rows = sum(s.rows for b in batches for s in b)
@@ -264,14 +313,10 @@ class CDCJob:
             el = _time.perf_counter() - t0
             rate = done_rows / el if el > 0 else 0.0
             logger.info(
-                "batch %d/%d: %d/%d events, %.0f events/s, est %.1fs left",
-                i + 1, len(batches), done_rows, total_rows, rate,
+                "source %s batch %d/%d: %d/%d events, %.0f events/s, "
+                "est %.1fs left", source, i + 1, len(batches), done_rows,
+                total_rows, rate,
                 (total_rows - done_rows) / rate if rate else 0.0)
-        # finalize: next run is incremental (reference initial-mode finalizer,
-        # .../CwsInitialJobModeFinalizer.java:34-45)
-        if manifest.job_mode != INCREMENTAL_LOAD:
-            manifest.job_mode = INCREMENTAL_LOAD
-            manifest.commit(self.table_dir)
         return manifest
 
     def apply_batch(
@@ -293,7 +338,16 @@ class CDCJob:
         # records P precisely so a job instance configured differently can
         # never mis-route keys against existing base files
         P = manifest.num_partitions
-        watermarks = {i: manifest.part(i).lsn_watermark for i in range(P)}
+        source = batch[0].source
+        lsn_namespace = batch[0].lsn_namespace
+        multi = len(self.wal_sources) > 1
+        # replay filtering is PER SOURCE: a younger source's effective lsns
+        # sit numerically below an older source's namespace
+        watermarks = {
+            i: (manifest.part(i).source_watermarks.get(source, 0) if multi
+                else manifest.part(i).lsn_watermark)
+            for i in range(P)
+        }
         part_meta = {
             i: {"file": manifest.part(i).file,
                 "delta_files": list(manifest.part(i).delta_files),
@@ -323,7 +377,7 @@ class CDCJob:
         merge_task = ray.remote(merge_partition_slices)
         slice_refs = [
             combine_task.remote(paths, change_schema, P, watermarks, G,
-                                self.merge_policy)
+                                self.merge_policy, lsn_namespace)
             for paths in chunks
         ]
         if n_groups == 1:  # num_returns=1 returns a bare ref, normalize
@@ -360,11 +414,21 @@ class CDCJob:
                                     max(s.max_lsn for s in batch)),
             merge_policy=manifest.merge_policy,
             retired_counters=retired,
-            last_segment_seen=max(
+            last_segment_seen=manifest.last_segment_seen if multi else max(
                 [manifest.last_segment_seen, extra_segment_seen]
                 + [os.path.basename(s.path) for s in batch]),
+            sources={k: dict(v) for k, v in manifest.sources.items()},
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
+        if multi:
+            applied, last_seen = self._source_state(manifest, source, multi)
+            new_m.sources[source] = {
+                "applied_through_lsn": max(applied,
+                                           max(s.max_lsn for s in batch)),
+                "last_segment_seen": max(
+                    [last_seen, extra_segment_seen]
+                    + [os.path.basename(s.path) for s in batch]),
+            }
         touched = set()
         for _, r in stats_df.iterrows():
             i = int(r["part"])
@@ -375,6 +439,12 @@ class CDCJob:
             p.conflict_count += int(r["conflict_count"])
             p.replay_skipped += int(r["replay_skipped"])
             p.lsn_watermark = max(p.lsn_watermark, int(r["lsn_watermark"]))
+            if multi:
+                p.source_watermarks = {
+                    **p.source_watermarks,
+                    source: max(p.source_watermarks.get(source, 0),
+                                int(r["lsn_watermark"])),
+                }
             if pd.isna(r["delta_file"]) or r["delta_file"] is None:
                 if r["file"] != p.file:  # base rewritten: deltas folded in
                     p.file = r["file"]
@@ -520,6 +590,7 @@ class CDCJob:
             merge_policy=manifest.merge_policy,
             retired_counters=dict(manifest.retired_counters),
             last_segment_seen=manifest.last_segment_seen,
+            sources={k: dict(v) for k, v in manifest.sources.items()},
             batch_history=list(manifest.batch_history),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
@@ -584,7 +655,9 @@ class CDCJob:
 
         wm = max([manifest.applied_through_lsn]
                  + [manifest.part(i).lsn_watermark
-                    for i in range(manifest.num_partitions)])
+                    for i in range(manifest.num_partitions)]
+                 + [int(st.get("applied_through_lsn", 0))
+                    for st in manifest.sources.values()])
         retired = {
             f: manifest.total(f)
             for f in ("dedup_count", "conflict_count", "replay_skipped")
@@ -601,8 +674,13 @@ class CDCJob:
             merge_policy=manifest.merge_policy,
             retired_counters=retired,
             last_segment_seen=manifest.last_segment_seen,
+            sources={k: dict(v) for k, v in manifest.sources.items()},
             batch_history=list(manifest.batch_history),
-            partitions={str(i): PartitionState(lsn_watermark=wm)
+            partitions={str(i): PartitionState(
+                            lsn_watermark=wm,
+                            source_watermarks={
+                                sn: int(st.get("applied_through_lsn", 0))
+                                for sn, st in manifest.sources.items()})
                         for i in range(new_num_partitions)},
         )
         for _, r in stats_df.iterrows():
@@ -744,7 +822,10 @@ class CDCJob:
 # ---------------------------------------------------------------- helpers
 def _copy_part(p):
     from ..state.manifest import PartitionState
-    return PartitionState(**vars(p))
+    d = dict(vars(p))
+    d["delta_files"] = list(d["delta_files"])
+    d["source_watermarks"] = dict(d["source_watermarks"])
+    return PartitionState(**d)
 
 
 def _target_schema(base_schema: pa.Schema) -> pa.Schema:

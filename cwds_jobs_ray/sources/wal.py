@@ -31,14 +31,24 @@ from ..schema import unify_change_schemas
 @dataclass
 class SegmentInfo:
     path: str
-    min_lsn: int
+    min_lsn: int        # EFFECTIVE lsn (raw + lsn_namespace)
     max_lsn: int
     rows: int
     schema: pa.Schema
+    source: str = "default"
+    lsn_namespace: int = 0  # multi-source: (source_idx+1) << 48
 
 
-def list_segments(wal_dir: str) -> list[SegmentInfo]:
-    """Driver-side metadata scan (footers only) of all WAL segments."""
+def list_segments(wal_dir: str, source: str = "default",
+                  lsn_namespace: int = 0) -> list[SegmentInfo]:
+    """Driver-side metadata scan (footers only) of all WAL segments.
+
+    ``lsn_namespace`` supports multi-source CDC (the reference's composite
+    savepoint, CapUsersSavePointService.java:40-47): each source's raw lsns
+    map into a disjoint effective range ``namespace | lsn`` so cross-source
+    lsns stay globally unique (the dedup multiset and lineage column rely on
+    uniqueness) while per-source monotonicity is preserved.
+    """
     infos = []
     if not os.path.isdir(wal_dir):
         return infos
@@ -64,7 +74,9 @@ def list_segments(wal_dir: str) -> list[SegmentInfo]:
             col = f.read(columns=["lsn"])["lsn"]
             import pyarrow.compute as _pc
             mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
-        infos.append(SegmentInfo(path, int(mn), int(mx), md.num_rows, schema))
+        infos.append(SegmentInfo(path, int(mn) + lsn_namespace,
+                                 int(mx) + lsn_namespace, md.num_rows, schema,
+                                 source, lsn_namespace))
     # NOTE on the committed-iff-max_lsn rule's safety: a segment with
     # max_lsn <= applied_through contains only events at-or-below the
     # watermark, i.e. already-applied originals or verbatim redeliveries —

@@ -475,7 +475,8 @@ def make_partition_merger(
 
 def combine_and_split(paths: list[str], unified_schema: pa.Schema,
                       num_partitions: int, watermarks: dict[int, int],
-                      group_size: int = 8, policy: str = "lww"):
+                      group_size: int = 8, policy: str = "lww",
+                      lsn_namespace: int = 0):
     """Stage-1 task body: read WAL files -> block LWW combine -> split the
     winner rows into ceil(P / group_size) partition-GROUP slices.
 
@@ -491,7 +492,13 @@ def combine_and_split(paths: list[str], unified_schema: pa.Schema,
     combine = make_combiner(unified_schema, num_partitions, watermarks, policy)
     tables = [conform_to_schema(pq.read_table(p), unified_schema)
               for p in paths]
-    winners = combine(pa.concat_tables(tables))
+    batch = pa.concat_tables(tables)
+    if lsn_namespace:  # multi-source: map raw lsns into the source's range
+        import pyarrow.compute as _pc
+        batch = batch.set_column(
+            batch.schema.get_field_index("lsn"), "lsn",
+            _pc.add(batch["lsn"], lsn_namespace))
+    winners = combine(batch)
     n_groups = -(-num_partitions // group_size)
     if winners.num_rows == 0:
         return None if n_groups == 1 else tuple([None] * n_groups)

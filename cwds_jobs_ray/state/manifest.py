@@ -34,6 +34,10 @@ class PartitionState:
     conflict_count: int = 0    # cumulative LWW losers (older event superseded)
     replay_skipped: int = 0    # cumulative rows skipped as lsn <= watermark
     file: str | None = None    # committed BASE parquet path relative to table_dir
+    # multi-source CDC: per-source EFFECTIVE lsn watermark for this partition
+    # (replay filtering must be per source — a younger source's effective
+    # lsns are numerically below an older source's namespace)
+    source_watermarks: dict[str, int] = field(default_factory=dict)
     # merge-on-read delta files (ordered by version). A batch whose winner set
     # is small relative to the base writes one of these instead of rewriting
     # the whole base — bounding per-batch write amplification to O(delta).
@@ -84,6 +88,11 @@ class Manifest:
     # skip-counted) — segments are produced in filename order, so anything
     # at-or-below this has been either applied or counted as replay
     last_segment_seen: str = ""
+    # multi-source CDC: per-source composite savepoint (the reference
+    # snapshots one watermark per source, CapUsersSavePointService.java:40-47)
+    # {source: {"applied_through_lsn": effective int, "last_segment_seen": str}}
+    # — single-source tables keep using the flat legacy fields above.
+    sources: dict[str, dict] = field(default_factory=dict)
     # rolling per-batch metrics (most recent BATCH_HISTORY_CAP entries):
     # the reference's progress/ETA surface (TimeLeftEstimationProvider),
     # persisted so `status` can show throughput without scraping logs

@@ -154,7 +154,11 @@ def test_yaml_config_env_substitution_and_validation(workdir, monkeypatch):
     with _pytest.raises(ConfigError, match="unknown config key"):
         load_config(cfg_path)
     with open(cfg_path, "w") as f:
-        f.write("table_dir: /t\n")  # wal_dir missing
+        f.write("table_dir: /t\n")  # neither wal_dir nor wal_sources
+    with _pytest.raises(ConfigError, match="wal_dir / wal_sources"):
+        load_config(cfg_path)
+    with open(cfg_path, "w") as f:  # required key truly missing
+        f.write("wal_dir: /w\n")
     with _pytest.raises(ConfigError, match="missing required"):
         load_config(cfg_path)
     with open(cfg_path, "w") as f:

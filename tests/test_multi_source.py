@@ -1,0 +1,171 @@
+"""Multi-source CDC: composite per-source savepoints, namespaced lsns,
+per-source replay filtering — the reference's CapUsers multi-source job
+shape (/root/reference/jobs-cap-users/src/main/java/gov/ca/cwds/jobs/cap/users/service/CapUsersSavePointService.java:40-47
+snapshots one watermark per source).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cwds_jobs_ray.pipelines.cdc import CDCJob
+from cwds_jobs_ray.pipelines.oracle import replay
+from cwds_jobs_ray.schema import CHANGE_SCHEMA_V2
+from cwds_jobs_ray.synth import WalSpec, make_base, make_wal, write_wal_segments
+
+P = 4
+NS = 1 << 48
+
+
+def _effective(wal: pa.Table, ns: int) -> pa.Table:
+    import pyarrow.compute as pc
+    return wal.set_column(wal.schema.get_field_index("lsn"), "lsn",
+                          pc.add(wal["lsn"], ns))
+
+
+def _setup_two_sources(workdir, spec_a, spec_b):
+    base = make_base(WalSpec(seed=5, n_convs=max(spec_a.n_convs,
+                                                 spec_b.n_convs),
+                             turns_per_conv=3))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+    wal_a, wal_b = make_wal(spec_a), make_wal(spec_b)
+    write_wal_segments(wal_a, os.path.join(workdir, "wal_a"),
+                       spec_a.n_segments)
+    write_wal_segments(wal_b, os.path.join(workdir, "wal_b"),
+                       spec_b.n_segments)
+    return base, base_path, wal_a, wal_b
+
+
+def _oracle_union(wal_a, wal_b):
+    # sources sort as ("a", "b") -> namespaces 1<<48 and 2<<48
+    return pa.concat_tables([_effective(wal_a, NS), _effective(wal_b, 2 * NS)])
+
+
+def test_two_sources_match_union_oracle(workdir):
+    """Two sources with OVERLAPPING raw lsn ranges and conflicting keys:
+    final state must equal the oracle replay of the namespaced union, with
+    exact counters; savepoints advance per source."""
+    spec_a = WalSpec(seed=6, n_convs=10, turns_per_conv=3, n_events=120,
+                     n_segments=3, dup_redelivery_frac=0.1,
+                     out_of_order_frac=0.2, frac_delete=0.2)
+    spec_b = WalSpec(seed=7, n_convs=10, turns_per_conv=3, n_events=90,
+                     n_segments=2, dup_redelivery_frac=0.1,
+                     out_of_order_frac=0.2)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a, spec_b)
+
+    job = CDCJob(os.path.join(workdir, "table"),
+                 {"a": os.path.join(workdir, "wal_a"),
+                  "b": os.path.join(workdir, "wal_b")},
+                 num_partitions=P, events_per_batch=50)
+    m = job.run(base_path=base_path)
+
+    o = replay(base, _oracle_union(wal_a, wal_b), P)
+    got = job.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+    assert m.total("rows_applied") == o.rows_applied
+    assert m.total("conflict_count") == o.conflict_count
+    assert m.total("dedup_count") + m.total("replay_skipped") == o.dedup_count
+    # composite savepoint: one watermark per source, in its own namespace
+    assert m.sources["a"]["applied_through_lsn"] == NS + 120
+    assert m.sources["b"]["applied_through_lsn"] == 2 * NS + 90
+
+
+def test_sources_resume_independently(workdir):
+    """New segments landing in ONE source only: the other source's savepoint
+    must not move, and the new events apply exactly once."""
+    spec_a = WalSpec(seed=8, n_convs=8, turns_per_conv=2, n_events=60,
+                     n_segments=2)
+    spec_b = WalSpec(seed=9, n_convs=8, turns_per_conv=2, n_events=40,
+                     n_segments=2)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a, spec_b)
+    srcs = {"a": os.path.join(workdir, "wal_a"),
+            "b": os.path.join(workdir, "wal_b")}
+    job = CDCJob(os.path.join(workdir, "table"), srcs,
+                 num_partitions=P, events_per_batch=10**9)
+    m1 = job.run(base_path=base_path)
+    b_before = m1.sources["b"]["applied_through_lsn"]
+
+    # a second wave arrives on source a only (lsns 61..90)
+    wal_a2 = make_wal(WalSpec(seed=10, n_convs=8, turns_per_conv=2,
+                              n_events=30, n_segments=1))
+    import pyarrow.compute as pc
+    wal_a2 = wal_a2.set_column(wal_a2.schema.get_field_index("lsn"), "lsn",
+                               pc.add(wal_a2["lsn"], 60))
+    pq.write_table(wal_a2, os.path.join(workdir, "wal_a",
+                                        "segment-00090.parquet"))
+    m2 = CDCJob(job.table_dir, srcs, num_partitions=P,
+                events_per_batch=10**9).run()
+    assert m2.sources["a"]["applied_through_lsn"] == NS + 90
+    assert m2.sources["b"]["applied_through_lsn"] == b_before
+
+    union = pa.concat_tables([
+        _effective(wal_a, NS), _effective(wal_a2, NS),
+        _effective(wal_b, 2 * NS)])
+    o = replay(base, union, P)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m2.total("conflict_count") == o.conflict_count
+
+
+def test_cross_source_replay_filtering_is_per_source(workdir):
+    """A fresh source-b event whose raw lsn is numerically tiny must NOT be
+    filtered by source-a's (much larger effective) watermark — replay
+    filtering is per source."""
+    base = make_base(WalSpec(seed=11, n_convs=3, turns_per_conv=1))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+    t0 = 1_700_000_800_000_000
+    row = dict(op="U", conv_id="c000001", turn_idx=0, role="user",
+               tool=None)
+    seg_a = pa.Table.from_pylist(
+        [dict(row, lsn=500, text="from a", ts=t0)], schema=CHANGE_SCHEMA_V2)
+    wal_a = os.path.join(workdir, "wal_a")
+    wal_b = os.path.join(workdir, "wal_b")
+    os.makedirs(wal_a)
+    os.makedirs(wal_b)
+    pq.write_table(seg_a, os.path.join(wal_a, "segment-00000.parquet"))
+    srcs = {"a": wal_a, "b": wal_b}
+    job = CDCJob(os.path.join(workdir, "table"), srcs, num_partitions=2,
+                 events_per_batch=10**9)
+    job.run(base_path=base_path)
+
+    # b's first event: raw lsn 1 (<< a's watermark 500), NEWER ts -> must win
+    seg_b = pa.Table.from_pylist(
+        [dict(row, lsn=1, text="from b", ts=t0 + 10**6)],
+        schema=CHANGE_SCHEMA_V2)
+    pq.write_table(seg_b, os.path.join(wal_b, "segment-00000.parquet"))
+    m = CDCJob(job.table_dir, srcs, num_partitions=2,
+               events_per_batch=10**9).run()
+    got = job.read_table_arrow().to_pandas()
+    cell = got[(got["conv_id"] == "c000001") & (got["turn_idx"] == 0)]
+    assert cell["text"].tolist() == ["from b"]
+    assert m.total("replay_skipped") == 0
+
+
+def test_multi_source_from_config(workdir, capsys, monkeypatch):
+    """A job fully driven by a wal_sources config file."""
+    import json
+
+    from cwds_jobs_ray.cli import main as cli_main
+
+    spec_a = WalSpec(seed=12, n_convs=6, turns_per_conv=2, n_events=30,
+                     n_segments=1)
+    spec_b = WalSpec(seed=13, n_convs=6, turns_per_conv=2, n_events=20,
+                     n_segments=1)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a, spec_b)
+    cfg = os.path.join(workdir, "job.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            f"table_dir: {os.path.join(workdir, 'table')}\n"
+            f"base_path: {base_path}\n"
+            "num_partitions: 4\n"
+            "wal_sources:\n"
+            f"  cws: {os.path.join(workdir, 'wal_a')}\n"
+            f"  cap: {os.path.join(workdir, 'wal_b')}\n")
+    assert cli_main(["run", "-c", cfg]) == 0
+    out = json.loads(capsys.readouterr().out)
+    # sources sort ("cap", "cws") -> cap=wal_b gets namespace 1, cws=wal_a 2
+    union = pa.concat_tables([_effective(wal_b, NS), _effective(wal_a, 2 * NS)])
+    o = replay(base, union, 4)
+    assert out["rows"] == o.rows_applied
