@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "dedup_exact_text",
     "ann_cosine_topk",
     "join_broadcast_dims",
+    # round-2 operators
+    "minhash_lsh_dups",
+    "asof_join_latest_event",
+    "sessionize_events",
+    "clean_corpus",
 ]
 
 

@@ -267,25 +267,40 @@ def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
                 .map_batches(pick, batch_format="pyarrow")
                 .iter_batches(batch_format="pyarrow")):
         text_by_id.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    tref = ray.put(text_by_id)
+
+    # candidate-docs shingle matrix: verify is one einsum per pair batch
+    # (intersections as integer dot products, exact rationals — same math
+    # as the brute-force baseline), never a per-pair Python loop. Dense is
+    # fine: rows = candidate docs only; falls back to sparse-set logic only
+    # if the matrix would be absurd.
+    vocab: dict[str, int] = {}
+    srows, scols = [], []
+    sorted_ids = np.array(sorted(text_by_id), dtype=np.int64)
+    for r, did in enumerate(sorted_ids):
+        for sh in set(_shingles(text_by_id[int(did)], shingle)):
+            scols.append(vocab.setdefault(sh, len(vocab)))
+            srows.append(r)
+    m = np.zeros((len(sorted_ids), len(vocab)), dtype=np.float32)
+    m[srows, scols] = 1.0
+    sizes = m.sum(axis=1).astype(np.int64)
+    mref = ray.put((sorted_ids, m, sizes))
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(tref)
+        ids_s, mm, sz = ray.get(mref)
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        jac = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):  # O(candidates) — near-dups only, not corpus
-            sa = set(_shingles(texts[a[i]], shingle))
-            sb = set(_shingles(texts[b[i]], shingle))
-            inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+        ia = np.searchsorted(ids_s, a)
+        ib = np.searchsorted(ids_s, b)
+        inter = np.einsum("ij,ij->i", mm[ia], mm[ib]).astype(np.int64)
+        jac = inter / (sz[ia] + sz[ib] - inter)
         keep = jac >= threshold
         order = np.lexsort((b[keep], a[keep]))
         return pa.table({"doc_a": pa.array(a[keep][order]),
                          "doc_b": pa.array(b[keep][order]),
                          "jaccard": pa.array(jac[keep][order])})
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             batch_size=65536)
 
 
 # ----------------------------------------------- connected components

@@ -804,7 +804,9 @@ def clean_corpus(sf_dir: str):
 
     1. gate: >= 5 words and >= 3 EN stopword markers;
     2. exact dedup: lowest doc_id per identical text (content-hash buckets);
-    3. near-dup: LSH-verified word-set Jaccard >= 0.95 clusters; only the
+    3. near-dup: LSH-verified 3-gram-shingle Jaccard >= 0.95 clusters (the
+       order-sensitive web-dedup granularity — word SETS over this synth
+       corpus's tiny vocabulary degenerate to one all-pairs blob); only the
        canonical doc (cluster_id == doc_id, i.e. min id) survives.
     Output: (doc_id, n_words) of the clean corpus.
     """
@@ -824,7 +826,7 @@ def clean_corpus(sf_dir: str):
     gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=4096)
     winners = exact_dedup(gated, keep_cols=["text", "n_words"]).materialize()
     pairs = lsh_verified_pairs(winners.select_columns(["doc_id", "text"]),
-                               JACCARD_THRESHOLD, shingle=1)
+                               JACCARD_THRESHOLD, shingle=3)
     clusters = connected_components(pairs)
     # non-canonical near-dups (a tiny set: only duplicated docs) -> drop
     noncanon = {int(r["doc_id"]) for r in clusters.take_all()
@@ -929,8 +931,7 @@ def events_hopping_window(sf_dir: str):
     a per-block flat-map into (window_start, user) partials, then the keyed
     tree-agg final."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    HOP_US = 30 * 60 * 1_000_000
-    WIN_US = 2 * HOP_US
+    HOP_US = 30 * 60 * 1_000_000  # window length = 2 hops
 
     def explode(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
@@ -1298,8 +1299,13 @@ ORACLE_SQL.update({
         e AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY text),
         s AS (SELECT g.doc_id, g.text, g.n_words
               FROM g JOIN e ON g.doc_id = e.doc_id),
-        d AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
-              FROM s),
+        d0 AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w FROM s),
+        d AS (SELECT doc_id,
+                     CASE WHEN LEN(w) >= 3 THEN LIST_DISTINCT(
+                            [CONCAT_WS(' ', w[i], w[i+1], w[i+2])
+                             FOR i IN RANGE(1, LEN(w) - 1)])
+                          ELSE [text] END AS w
+              FROM d0),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM d a JOIN d b ON a.doc_id < b.doc_id
               WHERE LEN(LIST_INTERSECT(a.w, b.w))::DOUBLE
