@@ -95,3 +95,85 @@ def extract_features(ds: ray.data.Dataset, concurrency: int = 2,
     return ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           num_cpus=1)
+
+
+class ImageResizer:
+    """Actor-pool resize stage: image rows get re-encoded at target WxH;
+    non-image rows pass through untouched. The resample kernel is the
+    codec-shaped STUB (deterministic bytes from the payload digest + target
+    dims); the Ray plumbing — per-actor target config, payload-safe
+    batching, metadata rewrite — is real."""
+
+    def __init__(self, width: int = 32, height: int = 24):
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for p, k, w, h in zip(payloads, kinds,
+                              batch["width"].to_pylist(),
+                              batch["height"].to_pylist()):
+            if k == "image":
+                digest = hashlib.sha256(
+                    p + bytes([self.width, self.height])).digest()
+                out_p.append(digest * ((self.width * self.height) // 32 + 1))
+                out_w.append(self.width)
+                out_h.append(self.height)
+            else:
+                out_p.append(p)
+                out_w.append(w)
+                out_h.append(h)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(out_p, pa.binary()),
+            "width": pa.array(out_w, pa.int32()),
+            "height": pa.array(out_h, pa.int32()),
+            "sample_rate": batch["sample_rate"],
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (1 -> k rows): audio/video payloads
+    emit every ``stride``-th frame as its own row with a per-frame feature.
+    The frame decode is the STUB kernel; the flat-map row expansion, frame
+    indexing and small-batch handling are the real multimodal plumbing."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 8):
+        self.stride, self.max_frames = stride, max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch["media_id"].to_pylist(), batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_frame, out_feat = [], [], []
+        for mid, k, p in zip(ids, kinds, payloads):
+            if k != "audio":
+                continue
+            n_frames = max(1, len(p) // 16)
+            for f in range(0, min(n_frames, self.max_frames * self.stride),
+                           self.stride):
+                d = _decode_stub(p + f.to_bytes(4, "little"), k)
+                out_id.append(mid)
+                out_frame.append(f)
+                out_feat.append(float(d[:8].sum()))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_frame, pa.int32()),
+            "frame_energy": pa.array(out_feat, pa.float64()),
+        })
+
+
+def resize_images(ds: ray.data.Dataset, width: int = 32, height: int = 24,
+                  concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(ImageResizer, batch_format="pyarrow",
+                          batch_size=256, concurrency=concurrency, num_cpus=1,
+                          fn_constructor_kwargs={"width": width,
+                                                 "height": height})
+
+
+def sample_frames(ds: ray.data.Dataset, stride: int = 4,
+                  concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(FrameSampler, batch_format="pyarrow",
+                          batch_size=256, concurrency=concurrency, num_cpus=1,
+                          fn_constructor_kwargs={"stride": stride})

@@ -966,6 +966,19 @@ def events_hopping_window(sf_dir: str):
     return _tree_agg(ds, explode, final, bucket_on="user_id")
 
 
+def multimodal_frame_pipeline(sf_dir: str):
+    """The full multimodal actor-pool chain over opaque binary payloads:
+    distributed media construction -> image resize (non-images pass
+    through) -> per-frame sampling flat-map (1 audio row -> k frame rows).
+    Kernels stubbed, plumbing real (functions/multimodal.py). Rows-only."""
+    from .functions.multimodal import (media_batch_from_docs, resize_images,
+                                       sample_frames)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(media_batch_from_docs, batch_format="pyarrow",
+                             batch_size=1024)
+    return sample_frames(resize_images(media))
+
+
 def paged_source_demo(sf_dir: str):
     """S7: token-paginated source drained into a Dataset — pages the
     customer table 500 rows at a time through the pagination protocol
@@ -1044,6 +1057,7 @@ QUERIES = {
     "neardup_clusters": neardup_clusters,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_pipeline": multimodal_frame_pipeline,
     "paged_source_demo": paged_source_demo,
     "train_val_split": train_val_split,
     "deterministic_shuffle": deterministic_shuffle,

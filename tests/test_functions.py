@@ -243,3 +243,28 @@ def test_bucketed_asof_join_matches_pandas_reference():
     exp = (exp.dropna(subset=["rid"]).astype({"rid": "int64", "rk": "int64"})
            .sort_values("lid").reset_index(drop=True))
     assert got[["lid", "rid"]].equals(exp[["lid", "rid"]])
+
+
+def test_multimodal_resize_and_frame_sampling():
+    from cwds_jobs_ray.functions.multimodal import (fake_media_table,
+                                                    resize_images,
+                                                    sample_frames)
+    media = fake_media_table(["some image text here", "audio words go here",
+                              "img two", "aud two words"], [0, 1, 2, 3])
+    ds = ray.data.from_arrow(media)
+    resized = resize_images(ds, width=16, height=12, concurrency=1).to_pandas()
+    imgs = resized[resized["kind"] == "image"]
+    assert (imgs["width"] == 16).all() and (imgs["height"] == 12).all()
+    auds = resized[resized["kind"] == "audio"]
+    assert (auds["sample_rate"] == 16000).all()  # untouched passthrough
+
+    frames = sample_frames(ray.data.from_arrow(media), stride=2,
+                           concurrency=1).to_pandas()
+    # only audio rows expand; frame indices follow the stride
+    assert set(frames["media_id"]) == {1, 3}
+    f1 = frames[frames["media_id"] == 1]["frame_idx"].tolist()
+    assert f1 == list(range(0, 2 * len(f1), 2))
+    # determinism
+    frames2 = sample_frames(ray.data.from_arrow(media), stride=2,
+                            concurrency=1).to_pandas()
+    assert frames.equals(frames2)
