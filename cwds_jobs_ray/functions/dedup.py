@@ -262,28 +262,35 @@ def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
         keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
         return t.filter(pa.array(keep))
 
-    text_by_id: dict[int, str] = {}
-    for b in (ds.select_columns(["doc_id", "text"])
-                .map_batches(pick, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")):
-        text_by_id.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    cand_doc_refs = (ds.select_columns(["doc_id", "text"])
+                     .map_batches(pick, batch_format="pyarrow")
+                     .to_arrow_refs())
 
-    # candidate-docs shingle matrix: verify is one einsum per pair batch
-    # (intersections as integer dot products, exact rationals — same math
-    # as the brute-force baseline), never a per-pair Python loop. Dense is
-    # fine: rows = candidate docs only; falls back to sparse-set logic only
-    # if the matrix would be absurd.
-    vocab: dict[str, int] = {}
-    srows, scols = [], []
-    sorted_ids = np.array(sorted(text_by_id), dtype=np.int64)
-    for r, did in enumerate(sorted_ids):
-        for sh in set(_shingles(text_by_id[int(did)], shingle)):
-            scols.append(vocab.setdefault(sh, len(vocab)))
-            srows.append(r)
-    m = np.zeros((len(sorted_ids), len(vocab)), dtype=np.float32)
-    m[srows, scols] = 1.0
-    sizes = m.sum(axis=1).astype(np.int64)
-    mref = ray.put((sorted_ids, m, sizes))
+    @ray.remote
+    def build_matrix(*blocks: pa.Table):
+        """Candidate-docs shingle matrix, built in a task (the driver only
+        passes block refs — candidate texts never land on the driver):
+        verify becomes one einsum per pair batch (intersections as integer
+        dot products, exact rationals — same math as the brute-force
+        baseline), never a per-pair Python loop. Dense is fine: rows =
+        candidate docs only."""
+        t = pa.concat_tables(blocks)
+        order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
+        t = t.take(pa.array(order))
+        sorted_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        vocab: dict[str, int] = {}
+        srows, scols = [], []
+        for r, tx in enumerate(texts):
+            for sh in set(_shingles(tx, shingle)):
+                scols.append(vocab.setdefault(sh, len(vocab)))
+                srows.append(r)
+        m = np.zeros((len(texts), len(vocab)), dtype=np.float32)
+        m[srows, scols] = 1.0
+        return (sorted_ids.astype(np.int64), m,
+                m.sum(axis=1).astype(np.int64))
+
+    mref = build_matrix.remote(*cand_doc_refs)
 
     def verify(batch: pa.Table) -> pa.Table:
         ids_s, mm, sz = ray.get(mref)

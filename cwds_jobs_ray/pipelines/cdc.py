@@ -359,15 +359,30 @@ class CDCJob:
         # direct two-stage shuffle (see stages/merge.py rationale): combine
         # tasks emit per-partition slices via num_returns=P; merge tasks
         # reduce exactly one partition each, reading the base partition
-        # locally — base rows never cross the wire.
-        chunks: list[list[str]] = []
-        cur, cur_rows = [], 0
+        # locally — base rows never cross the wire. Small segments group into
+        # one chunk; a FAT segment splits by row-group ranges so no single
+        # combine task has to hold it whole (chunk boundaries don't affect
+        # semantics — only batch boundaries respect whole segments).
+        chunks: list[list] = []
+        cur: list = []
+        cur_rows = 0
         for s in batch:
-            cur.append(s.path)
-            cur_rows += s.rows
-            if cur_rows >= self.combine_batch_size:
-                chunks.append(cur)
-                cur, cur_rows = [], 0
+            if (s.rows > 2 * self.combine_batch_size
+                    and s.num_row_groups > 1):
+                if cur:
+                    chunks.append(cur)
+                    cur, cur_rows = [], 0
+                rows_per_rg = max(1, s.rows // s.num_row_groups)
+                rgs = max(1, self.combine_batch_size // rows_per_rg)
+                chunks.extend(
+                    [(s.path, a, min(a + rgs, s.num_row_groups))]
+                    for a in range(0, s.num_row_groups, rgs))
+            else:
+                cur.append(s.path)
+                cur_rows += s.rows
+                if cur_rows >= self.combine_batch_size:
+                    chunks.append(cur)
+                    cur, cur_rows = [], 0
         if cur:
             chunks.append(cur)
 

@@ -37,6 +37,7 @@ class SegmentInfo:
     schema: pa.Schema
     source: str = "default"
     lsn_namespace: int = 0  # multi-source: (source_idx+1) << 48
+    num_row_groups: int = 1  # lets a fat segment split across combine tasks
 
 
 def list_segments(wal_dir: str, source: str = "default",
@@ -76,7 +77,7 @@ def list_segments(wal_dir: str, source: str = "default",
             mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
         infos.append(SegmentInfo(path, int(mn) + lsn_namespace,
                                  int(mx) + lsn_namespace, md.num_rows, schema,
-                                 source, lsn_namespace))
+                                 source, lsn_namespace, md.num_row_groups))
     # NOTE on the committed-iff-max_lsn rule's safety: a segment with
     # max_lsn <= applied_through contains only events at-or-below the
     # watermark, i.e. already-applied originals or verbatim redeliveries —

@@ -490,8 +490,14 @@ def combine_and_split(paths: list[str], unified_schema: pa.Schema,
     import pyarrow.parquet as pq
 
     combine = make_combiner(unified_schema, num_partitions, watermarks, policy)
-    tables = [conform_to_schema(pq.read_table(p), unified_schema)
-              for p in paths]
+    tables = []
+    for p in paths:
+        if isinstance(p, str):  # whole segment
+            t = pq.read_table(p)
+        else:  # (path, rg_start, rg_end): a fat segment split across tasks
+            path, a, b = p
+            t = pq.ParquetFile(path).read_row_groups(list(range(a, b)))
+        tables.append(conform_to_schema(t, unified_schema))
     batch = pa.concat_tables(tables)
     if lsn_namespace:  # multi-source: map raw lsns into the source's range
         import pyarrow.compute as _pc

@@ -508,3 +508,31 @@ def test_initial_load_from_directory_snapshot(workdir):
     o = replay(base, d["wal"], 4)
     assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
     assert m.total("rows_applied") == o.rows_applied
+
+
+def test_fat_segment_splits_across_combine_tasks(workdir):
+    """One oversized WAL segment (many row groups) must split into multiple
+    combine chunks instead of loading whole into a single task — with
+    identical results and counters."""
+    import pyarrow.parquet as pq
+
+    spec = WalSpec(seed=73, n_convs=30, turns_per_conv=3, n_events=2000,
+                   n_segments=1, dup_redelivery_frac=0.1,
+                   out_of_order_frac=0.2)
+    base = make_base(spec)
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+    wal = make_wal(spec)
+    wal_dir = os.path.join(workdir, "wal")
+    os.makedirs(wal_dir)
+    # one segment, 20 row groups of 105 rows
+    pq.write_table(wal, os.path.join(wal_dir, "segment-00000.parquet"),
+                   row_group_size=105)
+
+    job = CDCJob(os.path.join(workdir, "table"), wal_dir, num_partitions=4,
+                 events_per_batch=10**9, combine_batch_size=200)
+    m = job.run(base_path=base_path)
+    o = replay(base, wal, 4)
+    assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m.total("conflict_count") == o.conflict_count
+    assert m.total("dedup_count") + m.total("replay_skipped") == o.dedup_count
