@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--table-dir", required=True)
     cp.add_argument("--tombstone-horizon-lsn", type=int, required=True)
 
+    vf = sub.add_parser("verify", help="check committed files against the "
+                                       "manifest (verify-on-open sentinel)")
+    vf.add_argument("--table-dir", required=True)
+
     rs = sub.add_parser("reshard", help="change the table's partition count")
     rs.add_argument("--table-dir", required=True)
     rs.add_argument("--partitions", type=int, required=True)
@@ -142,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
         # exported files keep that order (one file per committed partition)
         ds.write_parquet(args.out)
         print(json.dumps({"rows": ds.count(), "out": args.out}))
+        return 0
+
+    if args.cmd == "verify":
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
+        m = job.verify_committed_files()
+        print(json.dumps({"ok": True, "files": len(m.committed_files()),
+                          "table_version": m.table_version}))
         return 0
 
     if args.cmd == "reshard":

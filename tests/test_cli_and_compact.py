@@ -187,3 +187,17 @@ def test_cli_run_from_config_file(workdir, capsys, monkeypatch):
     o = replay(d["base"], d["wal"], 4)
     assert out["rows"] == o.rows_applied
     assert out["applied_through_lsn"] == 40
+
+
+def test_cli_verify_subcommand(workdir, capsys):
+    spec = WalSpec(seed=63, n_convs=4, turns_per_conv=2, n_events=20,
+                   n_segments=1)
+    d = synthesize(spec, workdir)
+    table = os.path.join(workdir, "table")
+    assert cli_main(["run", "--table-dir", table,
+                     "--wal-dir", os.path.join(workdir, "wal"),
+                     "--base", d["base_path"], "--partitions", "2"]) == 0
+    capsys.readouterr()
+    assert cli_main(["verify", "--table-dir", table]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["files"] >= 1
