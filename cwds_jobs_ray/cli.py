@@ -89,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             "dedup": m.total("dedup_count"),
             "conflicts": m.total("conflict_count"),
             "replay_skipped": m.total("replay_skipped"),
+            "sources": m.sources,  # multi-source composite savepoints
             "recent_batches": m.batch_history[-5:],
         }))
         return 0

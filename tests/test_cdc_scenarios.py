@@ -536,3 +536,23 @@ def test_fat_segment_splits_across_combine_tasks(workdir):
     assert job.read_table_arrow().select(o.final.column_names).equals(o.final)
     assert m.total("conflict_count") == o.conflict_count
     assert m.total("dedup_count") + m.total("replay_skipped") == o.dedup_count
+
+
+def test_partition_count_not_divisible_by_group_size(workdir):
+    """P=20 with slice_group_size=8 (3 uneven groups) and P=3 with G=8
+    (single group) must both stay oracle-exact."""
+    spec = WalSpec(seed=77, n_convs=40, turns_per_conv=3, n_events=500,
+                   n_segments=4, dup_redelivery_frac=0.1,
+                   out_of_order_frac=0.2, frac_delete=0.2)
+    for P_ in (20, 3):
+        wd = os.path.join(workdir, f"p{P_}")
+        os.makedirs(wd)
+        d = synthesize(spec, wd)
+        job = CDCJob(os.path.join(wd, "table"), os.path.join(wd, "wal"),
+                     num_partitions=P_, events_per_batch=200,
+                     slice_group_size=8)
+        m = job.run(base_path=d["base_path"])
+        o = replay(d["base"], d["wal"], P_)
+        assert job.read_table_arrow().select(
+            o.final.column_names).equals(o.final)
+        assert m.total("conflict_count") == o.conflict_count
