@@ -169,3 +169,46 @@ def test_multi_source_from_config(workdir, capsys, monkeypatch):
     union = pa.concat_tables([_effective(wal_b, NS), _effective(wal_a, 2 * NS)])
     o = replay(base, union, 4)
     assert out["rows"] == o.rows_applied
+
+
+def test_reshard_multi_source_table(workdir):
+    """Resharding a two-source table must preserve state and keep applying
+    from both sources correctly afterwards (per-source watermarks carried
+    into the new partitions)."""
+    spec_a = WalSpec(seed=14, n_convs=10, turns_per_conv=2, n_events=80,
+                     n_segments=2, out_of_order_frac=0.2)
+    spec_b = WalSpec(seed=15, n_convs=10, turns_per_conv=2, n_events=60,
+                     n_segments=2, frac_delete=0.2)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a, spec_b)
+    srcs = {"a": os.path.join(workdir, "wal_a"),
+            "b": os.path.join(workdir, "wal_b")}
+    job = CDCJob(os.path.join(workdir, "table"), srcs, num_partitions=P,
+                 events_per_batch=10**9)
+    job.run(base_path=base_path)
+    before = job.read_table_arrow()
+
+    job2 = CDCJob(job.table_dir, srcs, num_partitions=6,
+                  events_per_batch=10**9)
+    m = job2.reshard(6)
+    assert job2.read_table_arrow().equals(before)
+    # per-source watermarks carried into every new partition
+    for i in range(6):
+        sw = m.part(i).source_watermarks
+        assert sw["a"] == m.sources["a"]["applied_through_lsn"]
+        assert sw["b"] == m.sources["b"]["applied_through_lsn"]
+
+    # second wave on source b only, applied after the reshard
+    wal_b2 = make_wal(WalSpec(seed=16, n_convs=10, turns_per_conv=2,
+                              n_events=25, n_segments=1))
+    import pyarrow.compute as pc
+    wal_b2 = wal_b2.set_column(wal_b2.schema.get_field_index("lsn"), "lsn",
+                               pc.add(wal_b2["lsn"], 60))
+    pq.write_table(wal_b2, os.path.join(workdir, "wal_b",
+                                        "segment-00090.parquet"))
+    m2 = job2.run()
+    union = pa.concat_tables([
+        _effective(wal_a, NS), _effective(wal_b, 2 * NS),
+        _effective(wal_b2, 2 * NS)])
+    o = replay(base, union, 6)
+    assert job2.read_table_arrow().select(o.final.column_names).equals(o.final)
+    assert m2.total("conflict_count") == o.conflict_count
