@@ -212,3 +212,36 @@ def test_reshard_multi_source_table(workdir):
     o = replay(base, union, 6)
     assert job2.read_table_arrow().select(o.final.column_names).equals(o.final)
     assert m2.total("conflict_count") == o.conflict_count
+
+
+def test_schema_evolution_across_sources(workdir):
+    """Source b introduces a new column source a never carries: rows from
+    both merge into the unified schema with null backfill, whichever order
+    the sources drain in."""
+    base = make_base(WalSpec(seed=17, n_convs=4, turns_per_conv=2))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+    t0 = 1_700_000_700_000_000
+    seg_a = pa.Table.from_pylist(
+        [dict(lsn=1, op="U", conv_id="c000000", turn_idx=0, role="user",
+              text="plain", tool=None, ts=t0)], schema=CHANGE_SCHEMA_V2)
+    v3 = CHANGE_SCHEMA_V2.append(pa.field("meta", pa.string()))
+    seg_b = pa.Table.from_pylist(
+        [dict(lsn=1, op="U", conv_id="c000001", turn_idx=0, role="user",
+              text="rich", tool=None, ts=t0, meta="m1")], schema=v3)
+    wal_a, wal_b = os.path.join(workdir, "wa"), os.path.join(workdir, "wb")
+    os.makedirs(wal_a)
+    os.makedirs(wal_b)
+    pq.write_table(seg_a, os.path.join(wal_a, "segment-00000.parquet"))
+    pq.write_table(seg_b, os.path.join(wal_b, "segment-00000.parquet"))
+
+    job = CDCJob(os.path.join(workdir, "table"),
+                 {"a": wal_a, "b": wal_b}, num_partitions=2,
+                 events_per_batch=10**9)
+    m = job.run(base_path=base_path)
+    assert "meta" in m.table_columns
+    df = job.read_table_arrow().to_pandas().set_index(["conv_id", "turn_idx"])
+    assert df.loc[("c000001", 0), "meta"] == "m1"
+    assert df.loc[("c000000", 0), "text"] == "plain"
+    assert df.loc[("c000000", 0), "meta"] is None or \
+        df.loc[("c000000", 0)].isna()["meta"]
