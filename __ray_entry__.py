@@ -192,11 +192,36 @@ def _golden_oracle_sqls() -> dict[str, str]:
             for r in rows)
         return (f"SELECT * FROM (VALUES {tuples}) AS t({', '.join(cols)})")
 
+    # independent naive HLL over the events user_ids (python ints +
+    # bit_length, not the engine's vectorized CLZ)
+    from cwds_jobs_ray.functions.sketch import (HLL_M, HLL_P,
+                                                estimate_from_registers)
+
+    uids = pq.read_table(f"{ORACLE_SF_DIR}/events.parquet",
+                         columns=["user_id"])["user_id"].to_pylist()
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    MASK = (1 << 64) - 1
+    regs = [0] * HLL_M
+    for u in uids:
+        h = u & MASK
+        h ^= h >> 33
+        h = (h * C1) & MASK
+        h ^= h >> 33
+        h = (h * C2) & MASK
+        h ^= h >> 33
+        idx = h >> (64 - HLL_P)
+        rest = ((h << HLL_P) & MASK) | ((1 << HLL_P) - 1)
+        rank = 64 - rest.bit_length() + 1
+        regs[idx] = max(regs[idx], rank)
+    hll_est = estimate_from_registers(np.asarray(regs, dtype=np.uint8))
+
     return {
         "token_counts_bpe": values_sql(bpe_rows, ["doc_id", "n_bpe_tokens"]),
         "rolling_hash_fingerprints": values_sql(
             winnow_rows, ["doc_id", "n_fingerprints", "min_fingerprint"]),
         "simhash_fingerprint": values_sql(sim_rows, ["doc_id", "simhash"]),
+        "approx_distinct_users": values_sql([(hll_est,)],
+                                            ["approx_distinct"]),
     }
 
 

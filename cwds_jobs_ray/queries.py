@@ -476,6 +476,18 @@ def count_consumed(sf_dir: str):
     return pa.table({"n_rows": pa.array([n], pa.int64())})
 
 
+def approx_distinct_users(sf_dir: str):
+    """Approximate distinct users via HyperLogLog (functions/sketch.py):
+    per-block 1KB sketches, order-independent max-merge, one estimate row.
+    The mergeable-sketch shape for cardinality at 100 TB — the shuffle
+    carries M bytes per block no matter the input size. Deterministic, so
+    the driver checks it against an independently implemented golden
+    estimate (plus a relative-error assertion in tests)."""
+    from .functions.sketch import approx_distinct
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return approx_distinct(ds, "user_id")
+
+
 def events_window_agg(sf_dir: str):
     """Tumbling event-time window (streaming concern §2.9): per (user, day)
     count + sum. Partial per block, then a small groupby — window results
@@ -1033,6 +1045,7 @@ QUERIES = {
     "merge_upsert_join": merge_upsert_join,
     "agg_pricing_summary": agg_pricing_summary,
     "distinct_keys": distinct_keys,
+    "approx_distinct_users": approx_distinct_users,
     "count_consumed": count_consumed,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,

@@ -268,3 +268,21 @@ def test_multimodal_resize_and_frame_sampling():
     frames2 = sample_frames(ray.data.from_arrow(media), stride=2,
                             concurrency=1).to_pandas()
     assert frames.equals(frames2)
+
+
+def test_hll_approx_distinct_accuracy_and_order_independence():
+    from cwds_jobs_ray.functions.sketch import approx_distinct
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40_000, size=120_000)  # ~38k distinct
+    exact = len(np.unique(vals))
+    t = pa.table({"user_id": pa.array(vals, pa.int64())})
+    est1 = approx_distinct(ray.data.from_arrow(t), "user_id") \
+        .take_all()[0]["approx_distinct"]
+    # max-merge is order/partitioning independent: shuffled + repartitioned
+    # input gives the IDENTICAL estimate
+    perm = rng.permutation(len(vals))
+    t2 = pa.table({"user_id": pa.array(vals[perm], pa.int64())})
+    est2 = approx_distinct(ray.data.from_arrow(t2).repartition(13),
+                           "user_id").take_all()[0]["approx_distinct"]
+    assert est1 == est2
+    assert abs(est1 - exact) / exact < 0.1  # 1024 registers ~ 3.2% se
