@@ -488,6 +488,30 @@ def approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+HIST_BIN_WIDTH = 5.0
+
+
+def value_histogram(sf_dir: str):
+    """Exact mergeable histogram of event values (distribution profiling):
+    per-block vectorized binning partials, keyed final over bin ids. Counts
+    merge by sum, so the result is partitioning-independent and the shuffle
+    carries one row per bin per block."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(v / HIST_BIN_WIDTH).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("bin", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _tree_agg(ds, partial, final, bucket_on="bin")
+
+
 def events_window_agg(sf_dir: str):
     """Tumbling event-time window (streaming concern §2.9): per (user, day)
     count + sum. Partial per block, then a small groupby — window results
@@ -1046,6 +1070,7 @@ QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "distinct_keys": distinct_keys,
     "approx_distinct_users": approx_distinct_users,
+    "value_histogram": value_histogram,
     "count_consumed": count_consumed,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
@@ -1178,6 +1203,11 @@ ORACLE_SQL = {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "distinct_keys": "SELECT DISTINCT user_id FROM events",
+    "value_histogram": f"""
+        SELECT FLOOR(value / {HIST_BIN_WIDTH})::BIGINT AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """,
     "count_consumed": "SELECT COUNT(*) AS n_rows FROM lineitem",
     "events_window_agg": """
         SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n,
