@@ -2,8 +2,9 @@
 
 - ``cosine_topk``: brute-force exact top-k — the verification baseline.
   Query matrix broadcast once via ``ray.put``; each block computes one
-  matmul and emits its PARTIAL top-k (k rows per query per block), so the
-  final reduce sees n_blocks*k tiny rows instead of the full corpus.
+  matmul and emits its PARTIAL top-k (k rows per query per block); the
+  final reduce is keyed by query_id into coarse buckets (``_keyed_topk_final``)
+  so no single task's input grows with corpus block count.
 - ``lsh_topk``: random-hyperplane LSH bucketing — the scale path; probes
   only same-bucket (+1-bit neighbor) candidates.
 - ``cosine_neardup_pairs``: embedding near-duplicate pairs over a threshold.
@@ -52,6 +53,34 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
+def _keyed_topk_final(partials: ray.data.Dataset, k: int,
+                      n_buckets: int | None = None) -> ray.data.Dataset:
+    """Final reduce of per-block partial top-k rows, keyed by query_id into
+    coarse hash buckets (a query never spans buckets, so per-bucket top-k is
+    global top-k). The partials are n_queries x k x n_blocks rows — linear in
+    corpus block count — so the final must NOT be a single task; bucketing
+    keeps every reduce task's input at ~(n_queries/n_buckets) x k x n_blocks
+    no matter how large the corpus grows."""
+    from .dedup import default_n_buckets
+    from .joins import _int_bucket
+
+    nb = n_buckets or default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["query_id"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True],
+                            kind="stable")
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out[["query_id", "vec_id", "rank"]]
+
+    return (partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(final, batch_format="pandas"))
+
+
 def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
                 query_ids: np.ndarray, k: int) -> ray.data.Dataset:
     """Exact top-k neighbors per query by cosine; returns
@@ -73,19 +102,11 @@ def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
                          "vec_id": pa.array(vi, pa.int64()),
                          "sim": pa.array(sv)})
 
-    def final(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["sim", "vec_id"],
-                                       ascending=[False, True], kind="stable")
-        out = df.groupby("query_id", sort=False).head(k).copy()
-        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-        return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]],
-                                    preserve_index=False)
-
-    # partial top-k bounds the final to n_queries x k x n_blocks rows
+    # partial top-k bounds the shuffle to n_queries x k x n_blocks rows;
+    # the final reduces per query-id bucket (never a single task)
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096)
-    return partials.repartition(1).map_batches(final, batch_format="pyarrow",
-                                               batch_size=None)
+    return _keyed_topk_final(partials, k)
 
 
 N_PLANES = 8  # 2^8 buckets
@@ -133,18 +154,9 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
                          "vec_id": pa.array(vi[ok], pa.int64()),
                          "sim": pa.array(sv[ok])})
 
-    def final(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["sim", "vec_id"],
-                                       ascending=[False, True], kind="stable")
-        out = df.groupby("query_id", sort=False).head(k).copy()
-        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-        return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]],
-                                    preserve_index=False)
-
     partials = ds.map_batches(bucketed_topk, batch_format="pyarrow",
                               batch_size=4096)
-    return partials.repartition(1).map_batches(final, batch_format="pyarrow",
-                                               batch_size=None)
+    return _keyed_topk_final(partials, k)
 
 
 N_CENTROIDS = 16
@@ -204,18 +216,9 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
                          "vec_id": pa.array(vi[ok], pa.int64()),
                          "sim": pa.array(sv[ok])})
 
-    def final(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["sim", "vec_id"],
-                                       ascending=[False, True], kind="stable")
-        out = df.groupby("query_id", sort=False).head(k).copy()
-        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-        return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]],
-                                    preserve_index=False)
-
     partials = ds.map_batches(probe_topk, batch_format="pyarrow",
                               batch_size=4096)
-    return partials.repartition(1).map_batches(final, batch_format="pyarrow",
-                                               batch_size=None)
+    return _keyed_topk_final(partials, k)
 
 
 _EMPTY_VPAIRS = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])

@@ -2,21 +2,32 @@
 exact-verified pairs), duplicate clusters.
 
 Every shipped operator is shuffle-true: no single-task reduces, no
-driver-side edge materialization, no full-corpus broadcasts.
+driver-side candidate/edge/label materialization, no full-corpus broadcasts.
 
 - exact dedup: per-block pre-reduce -> content-hash bucket groupby.
-- near-dup pairs: shingle -> minhash -> (band, band_hash) bucket groupby ->
-  candidate pairs -> pair-bucket dedup -> distributed hash-join back to the
-  texts -> exact Jaccard verify. LSH at 16 bands x 4 rows has miss
+- near-dup pairs: shingle -> minhash (block-vectorized: ONE hash call per
+  block + ``np.minimum.reduceat`` per doc) -> (band, band_hash) bucket
+  groupby -> candidate pairs -> pair-bucket dedup -> DISTRIBUTED bucketed
+  hash-join of pairs<->texts (each pair's two texts routed to the pair's
+  bucket; no task ever sees more than one bucket of candidate texts) ->
+  per-bucket exact shingle-set Jaccard. LSH at 16 bands x 4 rows has miss
   probability (1 - j^4)^16 ~ 2e-12 at j=0.95, so the verified output equals
   the brute-force pair set (tests assert equality; ``jaccard_pairs`` below
   is that brute-force verification baseline).
-- clusters: verified pairs -> iterative min-label propagation where the edge
-  set STAYS a Dataset; only the (node, label) frontier — bounded by the
-  number of duplicated docs, not edges — is driver-resident per round.
+- clusters: verified pairs -> iterative min-label propagation where BOTH the
+  edge set AND the node->label frontier stay keyed Datasets; each round is a
+  bucketed join edges|><|labels + per-bucket min-reduce, and the driver holds
+  only the per-round changed COUNT (frontier-size independence at 100 TB).
+
+Bucket counts default to ``default_n_buckets()`` — scaled to the cluster
+(4x CPUs, floor 64, env override ``CWDS_N_BUCKETS``) so reduce parallelism
+and per-bucket state shrink as the cluster grows; results are
+bucket-count-independent (tested).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -24,13 +35,50 @@ import pyarrow as pa
 import ray
 import ray.data
 
-N_BUCKETS = 64  # coarse shuffle buckets for keyed finals (tune ~ cluster size)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def default_n_buckets() -> int:
+    """Coarse shuffle-bucket count for keyed finals: 4x cluster CPUs with a
+    floor of 64 (so small-machine tests still exercise multi-bucket paths),
+    overridable via CWDS_N_BUCKETS. Bucket count never affects results —
+    only reduce parallelism and per-bucket memory."""
+    env = os.environ.get("CWDS_N_BUCKETS")
+    if env:
+        return max(1, int(env))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16)) \
+            if ray.is_initialized() else 16
+    except Exception:  # noqa: BLE001 — sizing heuristic only
+        cpus = 16
+    return max(64, 4 * cpus)
+
+
+def _doc_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.int64).view(np.uint64) * _GOLDEN
+        h ^= h >> np.uint64(29)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    # full avalanche before the mod: sequential ids (common for doc_ids)
+    # must not correlate with bucket — a plain (a*C ^ b) % n leaves low bits
+    # structured and concentrates whole id ranges in a few buckets
+    with np.errstate(over="ignore"):
+        h = (a.astype(np.int64).view(np.uint64) * _GOLDEN
+             ^ b.astype(np.int64).view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        h ^= h >> np.uint64(29)
+        h *= _GOLDEN
+        h ^= h >> np.uint64(32)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(ds: ray.data.Dataset,
-                keep_cols: list[str] | None = None) -> ray.data.Dataset:
+                keep_cols: list[str] | None = None,
+                n_buckets: int | None = None) -> ray.data.Dataset:
     """Keep the lowest doc_id per exact text; emit copy count (plus the
     winner row's ``keep_cols``, e.g. the text itself for downstream near-dup
     stages — identical text implies identical derived columns).
@@ -42,6 +90,7 @@ def exact_dedup(ds: ray.data.Dataset,
     """
     from ..stages.partition import hash_strings
 
+    nb = n_buckets or default_n_buckets()
     keep = [c for c in (keep_cols or []) if c != "text"]
     out_cols = ["doc_id", "n_copies"] + list(keep_cols or [])
 
@@ -51,7 +100,7 @@ def exact_dedup(ds: ray.data.Dataset,
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
             **{c: (c, "first") for c in keep}).reset_index()
         out = pa.Table.from_pandas(g, preserve_index=False)
-        bucket = (hash_strings(out["text"]) % np.uint64(N_BUCKETS)).astype(np.int64)
+        bucket = (hash_strings(out["text"]) % np.uint64(nb)).astype(np.int64)
         return out.append_column("bucket", pa.array(bucket))
 
     def final(bucket_tbl: pa.Table) -> pa.Table:
@@ -136,18 +185,38 @@ def _shingles(text: str, shingle: int) -> list[str]:
 
 
 def minhash_signatures(batch: pa.Table, shingle: int = 3) -> pa.Table:
-    """Per-doc MinHash signature over word `shingle`-grams (vectorized over
-    each doc's shingle set)."""
+    """Per-doc MinHash signature over word `shingle`-grams, vectorized across
+    the WHOLE block: every doc's shingles are hashed in ONE
+    ``pd.util.hash_array`` call, then each permutation's per-doc minimum
+    comes from one ``np.minimum.reduceat`` over the concatenated shingle
+    array — no per-document Python work beyond building the shingle lists.
+    (Duplicate shingles within a doc don't affect the min, so the shingle
+    MULTISET is hashed as-is — no per-doc set() pass.)"""
     a, b = _PERMS
     texts = batch["text"].to_pylist()
-    sigs = np.empty((len(texts), N_PERM), dtype=np.int64)
+    n = len(texts)
+    if n == 0:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array([], pa.int64()), N_PERM),
+        })
+    all_sh: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
     for i, t in enumerate(texts):
-        hv = (pd.util.hash_array(np.asarray(_shingles(t, shingle), dtype=object))
-              .astype(np.int64) & _MERSENNE)
-        # (a*x + b) mod p for all perms x all shingles, min over shingles;
-        # 31-bit operands keep the int64 products overflow-free
-        vals = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-        sigs[i] = vals.min(axis=0)
+        sh = _shingles(t, shingle)  # always >= 1 entry
+        all_sh.extend(sh)
+        counts[i] = len(sh)
+    hv = (pd.util.hash_array(np.asarray(all_sh, dtype=object))
+          .astype(np.int64) & _MERSENNE)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sigs = np.empty((n, N_PERM), dtype=np.int64)
+    for p in range(N_PERM):
+        # (a*x + b) mod prime over ALL shingles at once; 31-bit operands
+        # keep the int64 products overflow-free
+        vals = (hv * a[p] + b[p]) % _MERSENNE
+        sigs[:, p] = np.minimum.reduceat(vals, starts)
     return pa.table({
         "doc_id": batch["doc_id"],
         "sig": pa.FixedSizeListArray.from_arrays(
@@ -158,16 +227,18 @@ def minhash_signatures(batch: pa.Table, shingle: int = 3) -> pa.Table:
 _PERMS = _perm_params()
 
 
-def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Dataset:
+def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1,
+                        n_buckets: int | None = None) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidates: signature -> (band, band_hash) rows
     -> BUCKETED groupby (same-bucket rows co-located by hash of the band
-    key, N_BUCKETS reduce groups, vectorized within) -> within-bucket pairs
-    -> pair-bucket groupby dedup (pairs found by several bands collapse to
-    one row). Every shuffle carries small int rows only.
+    key, ``n_buckets`` reduce groups, vectorized within) -> within-bucket
+    pairs -> pair-bucket groupby dedup (pairs found by several bands collapse
+    to one row). Every shuffle carries small int rows only.
 
     ``shingle`` sets the feature granularity the estimated Jaccard is over:
     1 = word sets (matches ``jaccard_pairs``); 3+ = word n-gram shingles
     (the usual web-dedup choice when word order matters)."""
+    nb = n_buckets or default_n_buckets()
     rows_per_band = N_PERM // N_BANDS
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -183,7 +254,7 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Data
         band_col = np.repeat(np.arange(N_BANDS, dtype=np.int64), n)
         bh_flat = bh.T.reshape(-1)
         bucket = ((bh_flat.view(np.uint64) * np.uint64(31)
-                   + band_col.view(np.uint64)) % np.uint64(N_BUCKETS)
+                   + band_col.view(np.uint64)) % np.uint64(nb)
                   ).astype(np.int64)
         return pa.table({
             "band": pa.array(band_col, pa.int32()),
@@ -208,8 +279,7 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Data
                              "pbucket": pa.array([], pa.int64())})
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        pb = ((a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-               ^ b.view(np.uint64)) % np.uint64(N_BUCKETS)).astype(np.int64)
+        pb = _pair_bucket(a, b, nb)
         return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
                          "pbucket": pa.array(pb)})
 
@@ -230,164 +300,320 @@ def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1) -> ray.data.Data
 _EMPTY_PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                           ("jaccard", pa.float64())])
 
+# tagged-union schemas for the two bucketed hash-joins of the verify stage
+_REQ_SCHEMA = pa.schema([("dbucket", pa.int64()), ("side", pa.int8()),
+                         ("doc_id", pa.int64()), ("pbucket", pa.int64()),
+                         ("text", pa.string())])
+_VER_SCHEMA = pa.schema([("pbucket", pa.int64()), ("side", pa.int8()),
+                         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("doc_id", pa.int64()), ("text", pa.string())])
+
+
+def _route_candidate_texts(ds: ray.data.Dataset, cands: ray.data.Dataset,
+                           n_buckets: int) -> ray.data.Dataset:
+    """Bucketed hash-join of candidate pairs to their documents' texts:
+    returns (pbucket, doc_id, text) — each pair's TWO texts routed to that
+    pair's verify bucket, fully distributed.
+
+    Shape: pairs emit int-only (doc_id, pbucket) requests (deduped per
+    block); requests and the corpus co-locate by hash(doc_id) into
+    ``n_buckets`` groups; each group inner-joins its requests to its docs and
+    emits the text once per requesting pbucket. No stage holds more than one
+    bucket of texts, and nothing is driver-resident.
+    """
+
+    def requests(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        pb = _pair_bucket(a, b, n_buckets)
+        doc = np.concatenate([a, b])
+        pb2 = np.concatenate([pb, pb])
+        df = pd.DataFrame({"doc_id": doc, "pbucket": pb2}).drop_duplicates()
+        n = len(df)
+        return pa.Table.from_arrays([
+            pa.array(_doc_bucket(df["doc_id"].to_numpy(), n_buckets)),
+            pa.array(np.zeros(n, np.int8)),
+            pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            pa.array(df["pbucket"].to_numpy(), pa.int64()),
+            pa.nulls(n, pa.string()),
+        ], schema=_REQ_SCHEMA)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.Table.from_arrays([
+            pa.array(_doc_bucket(ids, n_buckets)),
+            pa.array(np.ones(n, np.int8)),
+            t["doc_id"],
+            pa.nulls(n, pa.int64()),
+            t["text"],
+        ], schema=_REQ_SCHEMA)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["side"] == 1][["doc_id", "text"]]
+        req = df[df["side"] == 0][["doc_id", "pbucket"]].drop_duplicates()
+        out = req.merge(docs, on="doc_id", how="inner")
+        out["pbucket"] = out["pbucket"].astype("int64")
+        return out[["pbucket", "doc_id", "text"]]
+
+    both = (cands.map_batches(requests, batch_format="pyarrow")
+            .union(ds.select_columns(["doc_id", "text"])
+                   .map_batches(tag_docs, batch_format="pyarrow")))
+    return both.groupby("dbucket").map_groups(attach, batch_format="pandas")
+
 
 def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
-                       shingle: int = 1) -> ray.data.Dataset:
+                       shingle: int = 1,
+                       n_buckets: int | None = None) -> ray.data.Dataset:
     """Exact near-dup pairs at scale: LSH candidates, then an exact
-    shingle-set Jaccard verify over ONLY the candidate pairs.
+    shingle-set Jaccard verify over ONLY the candidate pairs — computed as a
+    DISTRIBUTED bucketed hash-join:
 
-    The verify side ships the texts of the candidate doc set — docs that
-    collided in some LSH bucket, i.e. near-dups and their rare false
-    positives — via one ``ray.put`` (the small-side broadcast pattern);
-    volume is O(candidate docs), never O(corpus). If a pathological corpus
-    made the candidate set itself huge, swap this stage for a bucketed
-    hash-join of pairs↔texts (``Dataset.join``); the candidate pipeline is
-    unchanged.
+    1. each candidate pair is assigned a verify bucket (hash of its id pair);
+    2. ``_route_candidate_texts`` joins pairs->texts by doc_id hash and
+       routes each pair's two texts to the pair's bucket;
+    3. each verify bucket builds a local shingle matrix over ITS docs only
+       and verifies its pairs in one einsum (intersections as integer dot
+       products — exact rationals, same math as the brute-force baseline).
+
+    Per-task memory is one bucket's candidate texts; the driver holds
+    nothing. Candidate-doc text volume crossing the wire is
+    O(candidate docs x requesting buckets), never O(corpus^2) or a broadcast.
     """
-    cands = lsh_candidate_pairs(ds, shingle=shingle).materialize()
-    id_blocks = [
-        np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
-                        b["doc_b"].to_numpy(zero_copy_only=False)])
-        for b in cands.iter_batches(batch_format="pyarrow")]
-    cand_ids = np.unique(np.concatenate(id_blocks or [np.empty(0, np.int64)]))
-    if len(cand_ids) == 0:
+    nb = n_buckets or default_n_buckets()
+    cands = lsh_candidate_pairs(ds, shingle=shingle,
+                                n_buckets=nb).materialize()
+    if cands.count() == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
 
-    # fetch ONLY the candidate docs' texts (isin filter applied per block at
-    # the scan side, nothing else reaches the driver)
-    idref = ray.put(cand_ids)
+    routed = _route_candidate_texts(ds, cands, nb)
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids = ray.get(idref)
-        keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
-        return t.filter(pa.array(keep))
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.Table.from_arrays([
+            pa.array(_pair_bucket(a, b, nb)),
+            pa.array(np.zeros(n, np.int8)),
+            t["doc_a"], t["doc_b"],
+            pa.nulls(n, pa.int64()),
+            pa.nulls(n, pa.string()),
+        ], schema=_VER_SCHEMA)
 
-    cand_doc_refs = (ds.select_columns(["doc_id", "text"])
-                     .map_batches(pick, batch_format="pyarrow")
-                     .to_arrow_refs())
+    def tag_texts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays([
+            t["pbucket"],
+            pa.array(np.ones(n, np.int8)),
+            pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
+            t["doc_id"], t["text"],
+        ], schema=_VER_SCHEMA)
 
-    @ray.remote
-    def build_matrix(*blocks: pa.Table):
-        """Candidate-docs shingle matrix, built in a task (the driver only
-        passes block refs — candidate texts never land on the driver):
-        verify becomes one einsum per pair batch (intersections as integer
-        dot products, exact rationals — same math as the brute-force
-        baseline), never a per-pair Python loop. Dense is fine: rows =
-        candidate docs only."""
-        t = pa.concat_tables(blocks)
-        order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
-        t = t.take(pa.array(order))
-        sorted_ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["side"] == 1].drop_duplicates("doc_id")
+        docs = docs.sort_values("doc_id")
+        ids_s = docs["doc_id"].to_numpy().astype(np.int64)
         vocab: dict[str, int] = {}
         srows, scols = [], []
-        for r, tx in enumerate(texts):
+        for r, tx in enumerate(docs["text"].tolist()):
             for sh in set(_shingles(tx, shingle)):
                 scols.append(vocab.setdefault(sh, len(vocab)))
                 srows.append(r)
-        m = np.zeros((len(texts), len(vocab)), dtype=np.float32)
+        m = np.zeros((len(ids_s), len(vocab)), dtype=np.float32)
         m[srows, scols] = 1.0
-        return (sorted_ids.astype(np.int64), m,
-                m.sum(axis=1).astype(np.int64))
-
-    mref = build_matrix.remote(*cand_doc_refs)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ids_s, mm, sz = ray.get(mref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        sz = m.sum(axis=1).astype(np.int64)
+        pairs = df[df["side"] == 0]
+        a = pairs["doc_a"].to_numpy().astype(np.int64)
+        b = pairs["doc_b"].to_numpy().astype(np.int64)
         ia = np.searchsorted(ids_s, a)
         ib = np.searchsorted(ids_s, b)
-        inter = np.einsum("ij,ij->i", mm[ia], mm[ib]).astype(np.int64)
+        inter = np.einsum("ij,ij->i", m[ia], m[ib]).astype(np.int64)
         jac = inter / (sz[ia] + sz[ib] - inter)
         keep = jac >= threshold
         order = np.lexsort((b[keep], a[keep]))
-        return pa.table({"doc_a": pa.array(a[keep][order]),
-                         "doc_b": pa.array(b[keep][order]),
-                         "jaccard": pa.array(jac[keep][order])})
+        return pd.DataFrame({"doc_a": a[keep][order],
+                             "doc_b": b[keep][order],
+                             "jaccard": jac[keep][order]})
 
-    return cands.map_batches(verify, batch_format="pyarrow",
-                             batch_size=65536)
+    both = (cands.map_batches(tag_pairs, batch_format="pyarrow")
+            .union(routed.map_batches(tag_texts, batch_format="pyarrow")))
+    return both.groupby("pbucket").map_groups(verify_bucket,
+                                              batch_format="pandas")
 
 
 # ----------------------------------------------- connected components
 
-def connected_components(pairs: ray.data.Dataset,
-                         max_rounds: int = 30) -> ray.data.Dataset:
-    """Duplicate clusters from pairs via iterative min-label propagation.
+_EMPTY_CLUSTERS = pa.schema([("doc_id", pa.int64()),
+                             ("cluster_id", pa.int64())])
 
-    The EDGE SET stays a Dataset throughout (materialized once so rounds
-    don't re-execute the pair pipeline). Per round every edge proposes the
-    smaller endpoint label to the larger; proposals are min-reduced per node
-    block-locally, then folded into the label frontier. Only the frontier —
-    O(#docs that appear in any pair), typically a tiny fraction of the
-    corpus — is driver-resident; at extreme duplication swap it for a keyed
-    label Dataset with a bucketed join per round (same round body).
-    Converges in O(component diameter) rounds.
+
+def _split_int_tbl(df: pd.DataFrame, key: str, nb: int) -> list[pa.Table]:
+    """Partition an all-int64 frame into nb Arrow tables by hash(key)."""
+    b = _doc_bucket(df[key].to_numpy().astype(np.int64), nb)
+    out = []
+    for j in range(nb):
+        sub = df[b == j]
+        out.append(pa.table({c: pa.array(sub[c].to_numpy().astype(np.int64),
+                                         pa.int64())
+                             for c in df.columns}))
+    return out
+
+
+def _cc_split_edges(block: pa.Table, nb: int) -> list[pa.Table]:
+    """Symmetrize one pairs block and partition by hash(src)."""
+    if block.num_rows == 0 or "doc_a" not in block.column_names:
+        # empty upstream map_groups blocks can arrive schema-less
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        return [empty] * nb
+    a = block["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = block["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pd.DataFrame({"src": np.concatenate([a, b]),
+                       "dst": np.concatenate([b, a])})
+    return _split_int_tbl(df, "src", nb)
+
+
+def _cc_build_bucket(*slices: pa.Table):
+    """One edge bucket: concat its slices; initial labels = its distinct
+    src nodes labeled with themselves. Returns (edges_j, labels_j)."""
+    parts = [s for s in slices if s.num_rows]
+    e = pa.concat_tables(parts) if parts else pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    nodes = np.unique(e["src"].to_numpy(zero_copy_only=False)) \
+        if e.num_rows else np.empty(0, np.int64)
+    lab = pa.table({"node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(nodes, pa.int64())})
+    return e, lab
+
+
+def _cc_propose(edges_j: pa.Table, labels_j: pa.Table,
+                nb: int) -> list[pa.Table]:
+    """Edges propose their source's label to their destination; labels pass
+    through for their own node. Local min per node before the exchange."""
+    lab = labels_j.to_pandas()
+    e = edges_j.to_pandas()
+    m = e.merge(lab, left_on="src", right_on="node", how="inner")
+    prop = (m.groupby("dst", sort=False)["label"].min().reset_index()
+            .rename(columns={"dst": "node"}))
+    allp = (pd.concat([prop, lab], ignore_index=True)
+            .groupby("node", sort=False)["label"].min().reset_index())
+    return _split_int_tbl(allp, "node", nb)
+
+
+def _cc_reduce(labels_j: pa.Table, *slices: pa.Table):
+    """Min-reduce this bucket's proposals against its old labels.
+    Returns (new_labels_j, changed_count)."""
+    old = labels_j.to_pandas().rename(columns={"label": "old"})
+    parts = [s.to_pandas() for s in slices if s.num_rows]
+    if not parts or not len(old):
+        return labels_j, 0
+    cand = (pd.concat(parts, ignore_index=True)
+            .groupby("node", sort=False)["label"].min().reset_index())
+    out = old.merge(cand, on="node", how="left")
+    out["label"] = np.minimum(
+        out["old"].to_numpy(),
+        out["label"].fillna(np.iinfo(np.int64).max).astype("int64").to_numpy())
+    changed = int((out["label"] < out["old"]).sum())
+    return pa.table({"node": pa.array(out["node"].to_numpy(), pa.int64()),
+                     "label": pa.array(out["label"].to_numpy(), pa.int64())
+                     }), changed
+
+
+def _cc_jump_request(labels_j: pa.Table, nb: int) -> list[pa.Table]:
+    """Route each (node, label) row to the bucket owning label's own entry."""
+    return _split_int_tbl(labels_j.to_pandas(), "label", nb)
+
+
+def _cc_jump_resolve(labels_k: pa.Table, nb: int,
+                     *reqs: pa.Table) -> list[pa.Table]:
+    """label <- label(label): resolve requests against this bucket's label
+    map, then route results back to the bucket owning each node."""
+    parts = [r.to_pandas() for r in reqs if r.num_rows]
+    if not parts:
+        return [pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})] * nb
+    req = pd.concat(parts, ignore_index=True)
+    lut = labels_k.to_pandas().rename(columns={"node": "lnode",
+                                               "label": "llabel"})
+    out = req.merge(lut, left_on="label", right_on="lnode", how="left")
+    out["label"] = out["llabel"].fillna(out["label"]).astype("int64")
+    return _split_int_tbl(out[["node", "label"]], "node", nb)
+
+
+def _cc_collect(*slices: pa.Table) -> pa.Table:
+    parts = [s for s in slices if s.num_rows]
+    return pa.concat_tables(parts) if parts else pa.table(
+        {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+
+
+def connected_components(pairs: ray.data.Dataset,
+                         max_rounds: int = 64,
+                         n_buckets: int | None = None) -> ray.data.Dataset:
+    """Duplicate clusters from pairs via distributed min-label propagation
+    with pointer jumping — NOTHING frontier-sized ever lands on the driver.
+
+    Both the edge set and the node->label map live as per-bucket Arrow
+    tables in the object store (hash(node) -> bucket), exchanged by the same
+    direct ``num_returns``-sliced task waves the CDC engine's shuffle uses
+    (measured ~10x cheaper than Dataset sort-shuffles at this shape,
+    stages/merge.py). Each round:
+
+      1. PROPOSE (task per bucket): its edges propose their source's current
+         label to their destination; local min per destination, slices
+         exchanged to the destinations' buckets;
+      2. MIN-REDUCE (task per bucket): new label = min(old, proposals);
+         emits the bucket's changed-count (the ONLY value the driver reads);
+      3. POINTER JUMP (two waves): label <- label(label) by routing each
+         label row to its label's owning bucket and back. Labels only
+         decrease and a label is always itself a node id, so the jump just
+         shortcuts chains — turning O(diameter) plain propagation into
+         O(log n) rounds (a path graph would otherwise need one round/hop).
+
+    Convergence: when step 2 changes nothing, every edge has equal endpoint
+    labels, so labels are constant per component (= the component min).
 
     Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
     component; singletons are omitted (only docs appearing in pairs).
     """
-    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    nb = n_buckets or default_n_buckets()
+    src = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if src.count() == 0:
+        return ray.data.from_arrow(_EMPTY_CLUSTERS.empty_table())
+    blocks = src.to_arrow_refs()
 
-    # frontier init: every node its own label (distinct nodes per block ->
-    # small driver fold)
-    def nodes_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            t["doc_a"].to_numpy(zero_copy_only=False),
-            t["doc_b"].to_numpy(zero_copy_only=False)]))
-        return pa.table({"node": pa.array(u, pa.int64())})
+    def norm(refs):
+        return [[r] for r in refs] if nb == 1 else refs
 
-    node_blocks = edges.map_batches(nodes_partial, batch_format="pyarrow")
-    nodes = np.unique(np.concatenate(
-        [b["node"].to_numpy(zero_copy_only=False)
-         for b in node_blocks.iter_batches(batch_format="pyarrow")]
-        or [np.empty(0, np.int64)]))
-    if len(nodes) == 0:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "cluster_id": pa.array([], pa.int64())}))
-    labels = nodes.copy()  # labels[i] = label of nodes[i]
+    split_t = ray.remote(num_returns=nb)(_cc_split_edges)
+    build_t = ray.remote(num_returns=2)(_cc_build_bucket)
+    prop_t = ray.remote(num_returns=nb)(_cc_propose)
+    red_t = ray.remote(num_returns=2)(_cc_reduce)
+    jreq_t = ray.remote(num_returns=nb)(_cc_jump_request)
+    jres_t = ray.remote(num_returns=nb)(_cc_jump_resolve)
+    coll_t = ray.remote(_cc_collect)
+
+    eslices = norm([split_t.remote(b, nb) for b in blocks])
+    built = [build_t.remote(*[s[j] for s in eslices]) for j in range(nb)]
+    edge_refs = [b[0] for b in built]
+    label_refs = [b[1] for b in built]
 
     for _ in range(max_rounds):
-        ref = ray.put((nodes, labels))
-
-        def propose(t: pa.Table) -> pa.Table:
-            nd, lb = ray.get(ref)  # node->label frontier, local object store
-            a = t["doc_a"].to_numpy(zero_copy_only=False)
-            b = t["doc_b"].to_numpy(zero_copy_only=False)
-            la = lb[np.searchsorted(nd, a)]
-            lo = lb[np.searchsorted(nd, b)]
-            m = np.minimum(la, lo)
-            # per-block min per node bounds the driver fold to distinct
-            # nodes per block
-            tgt = np.concatenate([a, b])
-            val = np.concatenate([m, m])
-            order = np.argsort(tgt, kind="stable")
-            tgt, val = tgt[order], val[order]
-            first = np.ones(len(tgt), dtype=bool)
-            first[1:] = tgt[1:] != tgt[:-1]
-            starts = np.flatnonzero(first)
-            return pa.table({
-                "node": pa.array(tgt[starts], pa.int64()),
-                "label": pa.array(np.minimum.reduceat(val, starts), pa.int64()),
-            })
-
-        new_labels = labels.copy()
-        changed = False
-        for blk in edges.map_batches(
-                propose, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"):
-            idx = np.searchsorted(nodes, blk["node"].to_numpy(zero_copy_only=False))
-            lab = blk["label"].to_numpy(zero_copy_only=False)
-            upd = lab < new_labels[idx]
-            if upd.any():
-                changed = True
-                np.minimum.at(new_labels, idx[upd], lab[upd])
-        labels = new_labels
-        if not changed:
+        pslices = norm([prop_t.remote(edge_refs[j], label_refs[j], nb)
+                        for j in range(nb)])
+        red = [red_t.remote(label_refs[j], *[ps[j] for ps in pslices])
+               for j in range(nb)]
+        label_refs = [r[0] for r in red]
+        changed = sum(ray.get([r[1] for r in red]))  # nb ints, nothing more
+        if changed == 0:
             break
+        rq = norm([jreq_t.remote(label_refs[j], nb) for j in range(nb)])
+        rs = norm([jres_t.remote(label_refs[k], nb,
+                                 *[rq[j][k] for j in range(nb)])
+                   for k in range(nb)])
+        label_refs = [coll_t.remote(*[rs[k][m] for k in range(nb)])
+                      for m in range(nb)]
 
-    return ray.data.from_arrow(pa.table({
-        "doc_id": pa.array(nodes, pa.int64()),
-        "cluster_id": pa.array(labels, pa.int64())}))
+    out = ray.data.from_arrow_refs(label_refs)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")

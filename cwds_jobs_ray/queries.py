@@ -42,12 +42,19 @@ def _derive_op(batch: pa.Table) -> pa.Table:
     return batch.append_column("op", op)
 
 
-N_AGG_BUCKETS = 64
+def _agg_buckets() -> int:
+    """Coarse bucket count for keyed finals, scaled to the cluster (see
+    functions.dedup.default_n_buckets; env override CWDS_N_BUCKETS). Bucket
+    count never affects results — only reduce parallelism and per-bucket
+    pandas-groupby memory, both of which must scale with the cluster."""
+    from .functions.dedup import default_n_buckets
+    return default_n_buckets()
 
 
 def _tree_agg(ds: ray.data.Dataset, partial_fn, final_fn,
               batch_size: int = 65536,
-              bucket_on: str | None = None) -> ray.data.Dataset:
+              bucket_on: str | None = None,
+              n_buckets: int | None = None) -> ray.data.Dataset:
     """Partial-per-block -> final reduce.
 
     The partial bounds the data entering the reduce (one row per group per
@@ -57,10 +64,11 @@ def _tree_agg(ds: ray.data.Dataset, partial_fn, final_fn,
       cardinality is bounded (op codes, return flags, top-k, min/max);
       measured 7-15x faster than the generic sort-based ``groupby`` there.
     - ``bucket_on=<int key column>``: the finals shuffle into
-      ``N_AGG_BUCKETS`` coarse hash buckets (keys never span buckets) and
-      reduce vectorized per bucket — the shape for UNBOUNDED key
-      cardinality (per-user, per-event aggregates), the same
-      fixed-partition structure the CDC engine's combine/merge uses.
+      ``n_buckets`` (default cluster-scaled, see ``_agg_buckets``) coarse
+      hash buckets (keys never span buckets) and reduce vectorized per
+      bucket — the shape for UNBOUNDED key cardinality (per-user, per-event
+      aggregates), the same fixed-partition structure the CDC engine's
+      combine/merge uses.
     """
     partials = ds.map_batches(partial_fn, batch_format="pyarrow",
                               batch_size=batch_size)
@@ -70,9 +78,10 @@ def _tree_agg(ds: ray.data.Dataset, partial_fn, final_fn,
 
     from .functions.joins import _int_bucket
 
+    nb = n_buckets or _agg_buckets()
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = _int_bucket(t[bucket_on].to_numpy(zero_copy_only=False),
-                        N_AGG_BUCKETS)
+        b = _int_bucket(t[bucket_on].to_numpy(zero_copy_only=False), nb)
         return t.append_column("_bucket", pa.array(b))
 
     def final_bucket(t: pa.Table) -> pa.Table:
@@ -603,7 +612,8 @@ def asof_join_latest_event(sf_dir: str):
     joined = bucketed_asof_join(events, orders,
                                 left_by="user_id", right_by="o_custkey",
                                 left_on="ts", right_on="o_orderdate",
-                                n_buckets=32, right_tiebreak=["o_orderkey"])
+                                n_buckets=_agg_buckets(),
+                                right_tiebreak=["o_orderkey"])
 
     def project(out: pd.DataFrame) -> pd.DataFrame:
         # int columns pass through the two-sided union as nullable -> float
@@ -631,10 +641,10 @@ def sessionize_events(sf_dir: str):
     from .functions.joins import _int_bucket
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = _agg_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False),
-                        N_AGG_BUCKETS)
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
         return t.append_column("_bucket", pa.array(b))
 
     def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -763,9 +773,10 @@ def minhash_lsh_dups(sf_dir: str):
 
 def neardup_clusters(sf_dir: str):
     """Duplicate CLUSTERS: LSH-verified word-set Jaccard pairs -> connected
-    components via distributed min-label propagation (edges stay a Dataset;
-    only the node-label frontier is driver-resident). Oracle-exact: DuckDB
-    computes the same transitive closure with a recursive CTE."""
+    components via distributed min-label propagation (edges AND the
+    node-label map stay keyed Datasets; the driver sees only a per-round
+    changed count). Oracle-exact: DuckDB computes the same transitive
+    closure with a recursive CTE."""
     from .functions.dedup import connected_components, lsh_verified_pairs
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = lsh_verified_pairs(ds, JACCARD_THRESHOLD, shingle=1)
@@ -859,23 +870,50 @@ def clean_corpus(sf_dir: str):
         out = t.append_column("n_words", pa.array(nw, pa.int64()))
         return out.filter(pa.array(keep))
 
+    from .functions.dedup import _doc_bucket
+
     gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=4096)
     winners = exact_dedup(gated, keep_cols=["text", "n_words"]).materialize()
     pairs = lsh_verified_pairs(winners.select_columns(["doc_id", "text"]),
                                JACCARD_THRESHOLD, shingle=3)
     clusters = connected_components(pairs)
-    # non-canonical near-dups (a tiny set: only duplicated docs) -> drop
-    noncanon = {int(r["doc_id"]) for r in clusters.take_all()
-                if r["doc_id"] != r["cluster_id"]}
-    ref = ray.put(np.array(sorted(noncanon), dtype=np.int64))
+    # drop non-canonical near-dups via a bucketed hash ANTI-join (winners
+    # |><| noncanon ids co-located by doc_id hash) — int-only shuffle on the
+    # noncanon side, (doc_id, n_words) ints on the winners side, nothing
+    # driver-resident even at extreme duplication rates
+    nb = _agg_buckets()
+    aschema = pa.schema([("abucket", pa.int64()), ("side", pa.int8()),
+                         ("doc_id", pa.int64()), ("n_words", pa.int64())])
 
-    def drop_noncanon(t: pa.Table) -> pa.Table:
-        bad = ray.get(ref)
+    def tag_winners(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.select(["doc_id", "n_words"]).filter(
-            pa.array(~np.isin(ids, bad)))
+        return pa.Table.from_arrays([
+            pa.array(_doc_bucket(ids, nb)),
+            pa.array(np.zeros(len(ids), np.int8)),
+            t["doc_id"], t["n_words"].cast(pa.int64()),
+        ], schema=aschema)
 
-    return winners.map_batches(drop_noncanon, batch_format="pyarrow")
+    def tag_noncanon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays([
+            pa.array(_doc_bucket(ids, nb)),
+            pa.array(np.ones(len(ids), np.int8)),
+            t["doc_id"], pa.nulls(len(ids), pa.int64()),
+        ], schema=aschema)
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        bad = df[df["side"] == 1]["doc_id"].to_numpy()
+        keep = df[df["side"] == 0]
+        keep = keep[~keep["doc_id"].isin(bad)]
+        out = keep[["doc_id", "n_words"]].copy()
+        out["n_words"] = out["n_words"].astype("int64")
+        return out
+
+    both = (winners.select_columns(["doc_id", "n_words"])
+            .map_batches(tag_winners, batch_format="pyarrow")
+            .union(clusters.map_batches(tag_noncanon, batch_format="pyarrow")))
+    return both.groupby("abucket").map_groups(anti, batch_format="pandas")
 
 
 def sample_by_token_budget(sf_dir: str):
