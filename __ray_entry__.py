@@ -127,10 +127,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _golden_oracle_sqls() -> dict[str, str]:
     """Golden expected tables for the deterministic operators with no SQL
-    reformulation (BPE token counts, winnowing, SimHash), computed by
+    reformulation (BPE token counts, winnowing, SimHash, HLL, the LSH/IVF
+    approximate ANN indexes, and the multimodal stub pipelines), computed by
     INDEPENDENT naive reference implementations (plain Python loops, not the
-    engine's vectorized kernels) over the documents table and emitted as SQL
-    VALUES — the reference's golden-assertion pattern
+    engine's vectorized kernels — pinned parameters like the BPE regex, LSH
+    hyperplanes and k-means centroids are shared constants) over the same
+    parquet tables and emitted as SQL VALUES — the reference's
+    golden-assertion pattern
     (/root/reference/jobs-facilities-cws/src/test/java/gov/ca/cwds/jobs/cals/facility/cws/CwsFacilityJobTest.java:60-134)."""
     import re
 
@@ -186,9 +189,22 @@ def _golden_oracle_sqls() -> dict[str, str]:
                 sim |= 1 << b_
         sim_rows.append((i, np.int64(np.uint64(sim))))
 
-    def values_sql(rows, cols) -> str:
+    def values_sql(rows, cols, types=None) -> str:
+        types = types or ["BIGINT"] * len(cols)
+        if not rows:  # empty golden table with the right schema
+            casts = ", ".join(f"CAST(NULL AS {t}) AS {c}"
+                              for c, t in zip(cols, types))
+            return f"SELECT {casts} WHERE FALSE"
+
+        def lit(v, t):
+            if t == "VARCHAR":
+                return "'" + str(v).replace("'", "''") + "'"
+            if t == "DOUBLE":
+                return f"{float(v)!r}::DOUBLE"
+            return f"{int(v)}::{t}"
+
         tuples = ", ".join(
-            "(" + ", ".join(f"{int(v)}::BIGINT" for v in r) + ")"
+            "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")"
             for r in rows)
         return (f"SELECT * FROM (VALUES {tuples}) AS t({', '.join(cols)})")
 
@@ -215,6 +231,69 @@ def _golden_oracle_sqls() -> dict[str, str]:
         regs[idx] = max(regs[idx], rank)
     hll_est = estimate_from_registers(np.asarray(regs, dtype=np.uint8))
 
+    # -- ANN approximate indexes: naive per-vector loops over the SAME
+    # pinned planes/centroids the engine uses (the parameters are shared
+    # constants, like BPE_PATTERN above; the evaluation is independent) --
+    from cwds_jobs_ray.functions.ann import (N_CENTROIDS, N_PROBE, _kmeans,
+                                             _planes)
+    from cwds_jobs_ray.queries import ANN_K, ANN_N_QUERIES
+
+    emb = pq.read_table(f"{ORACLE_SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vec_ids = emb["vec_id"].to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()]
+    unit = [v / (np.linalg.norm(v) or 1.0) for v in vecs]
+    q_idx = [i for i, vid in enumerate(vec_ids) if vid < ANN_N_QUERIES]
+    dim = len(vecs[0])
+
+    def topk_rows(cand_fn):
+        """(query_id, vec_id, rank) rows: per query, naive loop over every
+        vector, keep candidates per cand_fn, top-k by (sim desc, vec_id)."""
+        rows = []
+        for qi in q_idx:
+            scored = []
+            for i, vid in enumerate(vec_ids):
+                if not cand_fn(qi, i):
+                    continue
+                scored.append((float(np.dot(unit[qi], unit[i])), int(vid)))
+            scored.sort(key=lambda s: (-s[0], s[1]))
+            for rank, (_s, vid) in enumerate(scored[:ANN_K], start=1):
+                rows.append((int(vec_ids[qi]), vid, rank))
+        return rows
+
+    planes = _planes(dim)
+    sig = [int(((u @ planes.T) > 0).astype(np.int64)
+               @ (1 << np.arange(len(planes)))) for u in unit]
+
+    def lsh_cand(qi, i):
+        return bin(sig[qi] ^ sig[i]).count("1") <= 1
+
+    sample = np.stack(unit[:4096])  # engine trains on ds.limit(4096)
+    cents = _kmeans(sample, N_CENTROIDS)
+    assign = [int(np.argmax(cc)) for cc in (np.stack(unit) @ cents.T)]
+    qprobe = {qi: set(np.argsort(-(unit[qi] @ cents.T))[:N_PROBE].tolist())
+              for qi in q_idx}
+
+    def ivf_cand(qi, i):
+        return assign[i] in qprobe[qi]
+
+    # -- multimodal stub kernels: naive sha256 evaluators over the same
+    # deterministic fake-media construction (documents -> media rows) --
+    import hashlib as _hl
+
+    mm_feat_rows = []
+    mm_frame_rows = []
+    for i, t in zip(ids, texts):
+        payload = t.encode() * 4
+        kind = "image" if i % 2 == 0 else "audio"
+        mm_feat_rows.append((i, kind, len(payload)))
+        if kind != "audio":
+            continue  # FrameSampler expands audio rows only
+        n_frames = max(1, len(payload) // 16)
+        for f in range(0, min(n_frames, 8 * 4), 4):  # max_frames=8, stride=4
+            digest = _hl.sha256(payload + f.to_bytes(4, "little")).digest()
+            mm_frame_rows.append((i, f, float(sum(digest[:8]))))
+
     return {
         "token_counts_bpe": values_sql(bpe_rows, ["doc_id", "n_bpe_tokens"]),
         "rolling_hash_fingerprints": values_sql(
@@ -222,6 +301,16 @@ def _golden_oracle_sqls() -> dict[str, str]:
         "simhash_fingerprint": values_sql(sim_rows, ["doc_id", "simhash"]),
         "approx_distinct_users": values_sql([(hll_est,)],
                                             ["approx_distinct"]),
+        "ann_lsh_topk": values_sql(topk_rows(lsh_cand),
+                                   ["query_id", "vec_id", "rank"]),
+        "ann_ivf_topk": values_sql(topk_rows(ivf_cand),
+                                   ["query_id", "vec_id", "rank"]),
+        "multimodal_features": values_sql(
+            mm_feat_rows, ["media_id", "kind", "n_bytes"],
+            ["BIGINT", "VARCHAR", "BIGINT"]),
+        "multimodal_frame_pipeline": values_sql(
+            mm_frame_rows, ["media_id", "frame_idx", "frame_energy"],
+            ["BIGINT", "INTEGER", "DOUBLE"]),
     }
 
 

@@ -723,7 +723,7 @@ def doc_fingerprint(sf_dir: str):
 
 def token_counts_bpe(sf_dir: str):
     """BPE-ish regex token counts via an ACTOR POOL (regex compiled once per
-    actor — the stateful-stage pattern). Rows-only check; the tokenizer is
+    actor — the stateful-stage pattern). Golden-VALUES oracle; the tokenizer is
     unit-tested against a pure-python reference."""
     from .functions.text import BpeTokenCounter
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -806,8 +806,10 @@ def ann_cosine_topk(sf_dir: str):
 
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate top-k (coarse k-means quantizer + inverted
-    lists; scale path alongside the LSH variant). Rows-only check; recall
-    vs the exact baseline tested in tests/test_functions.py."""
+    lists; scale path alongside the LSH variant). Oracle: golden VALUES from
+    a naive per-vector evaluator over the same pinned centroids
+    (__ray_entry__._golden_oracle_sqls); recall vs the exact baseline also
+    tested in tests/test_functions.py."""
     from .functions.ann import ivf_topk
     q, qids = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -815,8 +817,9 @@ def ann_ivf_topk(sf_dir: str):
 
 
 def ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed approximate top-k (scale path; rows-only check,
-    recall measured against the exact baseline in tests)."""
+    """LSH-bucketed approximate top-k (scale path). Oracle: golden VALUES
+    from a naive per-vector evaluator over the same pinned hyperplanes;
+    recall vs the exact baseline also measured in tests."""
     from .functions.ann import lsh_topk
     q, qids = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1044,7 +1047,9 @@ def multimodal_frame_pipeline(sf_dir: str):
     """The full multimodal actor-pool chain over opaque binary payloads:
     distributed media construction -> image resize (non-images pass
     through) -> per-frame sampling flat-map (1 audio row -> k frame rows).
-    Kernels stubbed, plumbing real (functions/multimodal.py). Rows-only."""
+    Kernels stubbed, plumbing real (functions/multimodal.py). Oracle:
+    golden VALUES from a naive sha256 evaluator of the same deterministic
+    stub kernels."""
     from .functions.multimodal import (media_batch_from_docs, resize_images,
                                        sample_frames)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1076,7 +1081,8 @@ def multimodal_features(sf_dir: str):
     """Multimodal plumbing demo: opaque binary payloads -> actor-pool
     decode/feature stage (decode kernel stubbed; see functions/multimodal.py).
     The media table is built DISTRIBUTED (map_batches over the documents
-    Dataset), never on the driver. Rows-only check (no SQL equivalent)."""
+    Dataset), never on the driver. Oracle: golden VALUES from a naive
+    evaluator of the same deterministic fake-media construction."""
     from .functions.multimodal import extract_features, media_batch_from_docs
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     media = docs.map_batches(media_batch_from_docs, batch_format="pyarrow",
