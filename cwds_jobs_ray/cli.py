@@ -104,16 +104,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         from .config import job_from_config, load_config
 
-        cfg = load_config(args.config) if args.config else {}
-        # precedence: explicit flag > config file > built-in default
-        if args.table_dir:
-            cfg["table_dir"] = args.table_dir
-        if args.wal_dir:
-            cfg["wal_dir"] = args.wal_dir
-        if args.partitions is not None:
-            cfg["num_partitions"] = args.partitions
-        if args.events_per_batch is not None:
-            cfg["events_per_batch"] = args.events_per_batch
+        # precedence: explicit flag > config file > built-in default — flags
+        # merge into the raw config BEFORE validation (load_config), so the
+        # wal_dir/wal_sources exclusivity check sees the effective config
+        overrides = {
+            "table_dir": args.table_dir,
+            "wal_dir": args.wal_dir,
+            "num_partitions": args.partitions,
+            "events_per_batch": args.events_per_batch,
+        }
+        if args.config:
+            cfg = load_config(args.config, overrides=overrides)
+        else:
+            cfg = {k: v for k, v in overrides.items() if v is not None}
         if not cfg.get("table_dir"):
             p.error("table_dir required (flag or config file)")
         if not cfg.get("wal_dir") and not cfg.get("wal_sources"):
@@ -121,7 +124,9 @@ def main(argv: list[str] | None = None) -> int:
         job = job_from_config(cfg)
         base = args.base or cfg.get("base_path") or None
         fcfg = cfg.get("follow", {})
-        if args.follow or fcfg:
+        # tail mode only on explicit opt-in (--follow or follow.enabled);
+        # a follow: section holding tuning knobs alone doesn't force it
+        if args.follow or fcfg.get("enabled"):
             m = job.follow(
                 base_path=base,
                 poll_interval_s=args.poll_interval

@@ -37,6 +37,10 @@ SCHEMA: dict[str, tuple[type, bool]] = {
 }
 
 FOLLOW_SCHEMA: dict[str, tuple[type, bool]] = {
+    # follow mode is entered ONLY on an explicit opt-in: the --follow flag
+    # or `follow.enabled: true`. A follow: section holding just tuning knobs
+    # must not force tail mode (one-shot runs stay possible).
+    "enabled": (bool, False),
     "poll_interval_s": (float, False),
     "idle_polls_to_stop": (int, False),
     "max_polls": (int, False),
@@ -98,8 +102,15 @@ def _validate(raw: dict, schema: dict[str, tuple[type, bool]],
     return out
 
 
-def load_config(path: str) -> dict:
-    """Parse + env-substitute + validate a job config file."""
+def load_config(path: str, overrides: dict | None = None) -> dict:
+    """Parse + env-substitute + validate a job config file.
+
+    ``overrides`` (CLI flags, None values ignored) merge into the raw config
+    BEFORE validation, so the documented flags-override-config precedence
+    holds for every check — including the wal_dir/wal_sources exclusivity
+    rule (an explicit --wal-dir replaces a config's wal_sources outright
+    rather than tripping the exactly-one check).
+    """
     import yaml
 
     with open(path) as f:
@@ -107,6 +118,10 @@ def load_config(path: str) -> dict:
     if not isinstance(raw, dict):
         raise ConfigError(f"config root must be a mapping, got {type(raw)}")
     raw = _substitute(raw)
+    ov = {k: v for k, v in (overrides or {}).items() if v is not None}
+    if ov.get("wal_dir"):
+        raw.pop("wal_sources", None)
+    raw.update(ov)
     cfg = _validate(raw, SCHEMA, "")
     if "follow" in cfg:
         cfg["follow"] = _validate(cfg["follow"], FOLLOW_SCHEMA, "follow.")

@@ -246,6 +246,7 @@ class CDCJob:
                 f"but this job is configured {self.merge_policy!r} — delta "
                 "files are only meaningful under the policy that wrote them")
         multi = len(self.wal_sources) > 1
+        manifest = self._pin_source_namespaces(manifest, multi)
         for name in sorted(self.wal_sources):
             wdir, ns = self.wal_sources[name]
             manifest = self._apply_source(manifest, name, wdir, ns, multi,
@@ -254,6 +255,55 @@ class CDCJob:
         # .../CwsInitialJobModeFinalizer.java:34-45)
         if manifest.job_mode != INCREMENTAL_LOAD:
             manifest.job_mode = INCREMENTAL_LOAD
+            manifest.commit(self.table_dir)
+        return manifest
+
+    def _pin_source_namespaces(self, manifest: Manifest,
+                               multi: bool) -> Manifest:
+        """Pin (first use) or validate the source->lsn_namespace assignment.
+
+        Namespaces derived from job config (sorted names / list position)
+        would silently SHIFT when a source is added, renamed or reordered —
+        invalidating every per-source savepoint and corrupting lsn lineage.
+        The manifest's pinned map is therefore authoritative: configured
+        sources take their pinned namespace; genuinely new sources get the
+        next free one (appended, never renumbering existing ones);
+        converting a table between single- and multi-source is refused.
+        """
+        pinned = dict(manifest.source_namespaces)
+        if not multi:
+            if pinned:
+                raise RuntimeError(
+                    "table is pinned to multi-source namespaces "
+                    f"{sorted(pinned)} but this job is configured "
+                    "single-source — effective lsns would not line up with "
+                    "the committed savepoints")
+            return manifest
+        if not pinned:
+            if manifest.applied_through_lsn > 0:
+                raise RuntimeError(
+                    "converting a single-source table to multi-source would "
+                    "re-namespace every lsn against the committed "
+                    "watermarks — not allowed; re-create the table")
+            manifest.source_namespaces = {
+                n: ns for n, (_d, ns) in self.wal_sources.items()}
+            manifest.commit(self.table_dir)
+            return manifest
+        changed = False
+        for n in sorted(self.wal_sources):
+            d, ns = self.wal_sources[n]
+            if n in pinned:
+                if pinned[n] != ns:
+                    # config-order-derived namespace disagrees (sources were
+                    # added/reordered): the PINNED one is authoritative
+                    self.wal_sources[n] = (d, pinned[n])
+            else:
+                nxt = (max(v >> 48 for v in pinned.values()) + 1) << 48
+                pinned[n] = nxt
+                self.wal_sources[n] = (d, nxt)
+                changed = True
+        if changed:
+            manifest.source_namespaces = pinned
             manifest.commit(self.table_dir)
         return manifest
 
@@ -433,6 +483,7 @@ class CDCJob:
                 [manifest.last_segment_seen, extra_segment_seen]
                 + [os.path.basename(s.path) for s in batch]),
             sources={k: dict(v) for k, v in manifest.sources.items()},
+            source_namespaces=dict(manifest.source_namespaces),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
         if multi:
@@ -606,6 +657,7 @@ class CDCJob:
             retired_counters=dict(manifest.retired_counters),
             last_segment_seen=manifest.last_segment_seen,
             sources={k: dict(v) for k, v in manifest.sources.items()},
+            source_namespaces=dict(manifest.source_namespaces),
             batch_history=list(manifest.batch_history),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
@@ -690,6 +742,7 @@ class CDCJob:
             retired_counters=retired,
             last_segment_seen=manifest.last_segment_seen,
             sources={k: dict(v) for k, v in manifest.sources.items()},
+            source_namespaces=dict(manifest.source_namespaces),
             batch_history=list(manifest.batch_history),
             partitions={str(i): PartitionState(
                             lsn_watermark=wm,

@@ -75,6 +75,11 @@ def list_segments(wal_dir: str, source: str = "default",
             col = f.read(columns=["lsn"])["lsn"]
             import pyarrow.compute as _pc
             mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
+        if lsn_namespace and int(mx) >= (1 << 48):
+            raise ValueError(
+                f"segment {path}: raw lsn {mx} does not fit below the "
+                "multi-source namespace shift (2^48) — namespaced ranges "
+                "would overlap")
         infos.append(SegmentInfo(path, int(mn) + lsn_namespace,
                                  int(mx) + lsn_namespace, md.num_rows, schema,
                                  source, lsn_namespace, md.num_row_groups))

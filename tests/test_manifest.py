@@ -151,3 +151,32 @@ def test_writer_lock_blocks_overlapping_instance(workdir):
             other.compact(10**9)
     # released -> works again
     job.run()
+
+
+def test_manifest_missing_hash_algo_refused(tmp_path):
+    """A manifest written before partition-hash versioning has unknown
+    routing: load must fail fast, not default to the current algo (which
+    would silently mis-route keys against the existing base files)."""
+    import json
+    import pytest
+    from cwds_jobs_ray.state.manifest import Manifest
+    m = Manifest.new(2)
+    m.commit(str(tmp_path))
+    raw = json.load(open(tmp_path / "manifest.json"))
+    del raw["hash_algo"]
+    json.dump(raw, open(tmp_path / "manifest.json", "w"))
+    with pytest.raises(RuntimeError, match="predates partition-hash"):
+        Manifest.load(str(tmp_path))
+
+
+def test_manifest_foreign_hash_algo_refused(tmp_path):
+    import json
+    import pytest
+    from cwds_jobs_ray.state.manifest import Manifest
+    m = Manifest.new(2)
+    m.commit(str(tmp_path))
+    raw = json.load(open(tmp_path / "manifest.json"))
+    raw["hash_algo"] = "polars-xxhash-seed42"
+    json.dump(raw, open(tmp_path / "manifest.json", "w"))
+    with pytest.raises(RuntimeError, match="refusing to mis-route"):
+        Manifest.load(str(tmp_path))

@@ -245,3 +245,93 @@ def test_schema_evolution_across_sources(workdir):
     assert df.loc[("c000000", 0), "text"] == "plain"
     assert df.loc[("c000000", 0), "meta"] is None or \
         df.loc[("c000000", 0)].isna()["meta"]
+
+
+def test_namespace_pinning_survives_added_and_reordered_sources(workdir):
+    """Adding a source whose name sorts FIRST must not shift the existing
+    sources' namespaces (config-order derivation would renumber them; the
+    manifest's pinned map is authoritative)."""
+    spec_a = WalSpec(seed=31, n_convs=6, turns_per_conv=2, n_events=40,
+                     n_segments=2)
+    spec_b = WalSpec(seed=32, n_convs=6, turns_per_conv=2, n_events=30,
+                     n_segments=2)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a, spec_b)
+    srcs = {"m_src": os.path.join(workdir, "wal_a"),
+            "z_src": os.path.join(workdir, "wal_b")}
+    job = CDCJob(os.path.join(workdir, "table"), srcs,
+                 num_partitions=P, events_per_batch=10**9)
+    m1 = job.run(base_path=base_path)
+    assert m1.source_namespaces == {"m_src": NS, "z_src": 2 * NS}
+
+    # new source "a_src" sorts before both existing names: without pinning
+    # it would steal namespace 1<<48 from m_src and shift everything
+    wal_c = make_wal(WalSpec(seed=33, n_convs=6, turns_per_conv=2,
+                             n_events=20, n_segments=1))
+    write_wal_segments(wal_c, os.path.join(workdir, "wal_c"), 1)
+    job2 = CDCJob(os.path.join(workdir, "table"),
+                  {"a_src": os.path.join(workdir, "wal_c"), **srcs},
+                  num_partitions=P, events_per_batch=10**9)
+    m2 = job2.apply_wal()
+    assert m2.source_namespaces["m_src"] == NS          # unchanged
+    assert m2.source_namespaces["z_src"] == 2 * NS      # unchanged
+    assert m2.source_namespaces["a_src"] == 3 * NS      # appended, not 1<<48
+    # savepoints stayed in their pinned namespaces
+    assert m2.sources["m_src"]["applied_through_lsn"] == NS + 40
+    assert m2.sources["z_src"]["applied_through_lsn"] == 2 * NS + 30
+    assert m2.sources["a_src"]["applied_through_lsn"] == 3 * NS + 20
+    # final table equals the oracle over the PINNED namespaced union
+    o = replay(base, pa.concat_tables([
+        _effective(wal_a, NS), _effective(wal_b, 2 * NS),
+        _effective(wal_c, 3 * NS)]), P)
+    got = job2.read_table_arrow()
+    assert got.select(o.final.column_names).equals(o.final)
+
+
+def test_single_multi_conversion_refused(workdir):
+    """Converting a committed single-source table to multi-source (or vice
+    versa) must fail fast instead of silently re-namespacing lsns."""
+    import pytest
+    spec = WalSpec(seed=41, n_convs=6, turns_per_conv=2, n_events=30,
+                   n_segments=2)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec, spec)
+    table = os.path.join(workdir, "table")
+    job = CDCJob(table, os.path.join(workdir, "wal_a"),
+                 num_partitions=P, events_per_batch=10**9)
+    job.run(base_path=base_path)
+
+    multi = CDCJob(table, {"a": os.path.join(workdir, "wal_a"),
+                           "b": os.path.join(workdir, "wal_b")},
+                   num_partitions=P)
+    with pytest.raises(RuntimeError, match="single-source table to multi"):
+        multi.apply_wal()
+
+    # and the reverse: a multi-source table driven single-source
+    table2 = os.path.join(workdir, "table2")
+    mjob = CDCJob(table2, {"a": os.path.join(workdir, "wal_a"),
+                           "b": os.path.join(workdir, "wal_b")},
+                  num_partitions=P, events_per_batch=10**9)
+    mjob.run(base_path=base_path)
+    sjob = CDCJob(table2, os.path.join(workdir, "wal_a"), num_partitions=P)
+    with pytest.raises(RuntimeError, match="pinned to multi-source"):
+        sjob.apply_wal()
+
+
+def test_raw_lsn_must_fit_below_namespace_shift(workdir):
+    """Raw lsns >= 2^48 would overlap the next source's namespace: the
+    segment scan must refuse them when namespacing is in effect."""
+    import numpy as np
+    import pytest
+    from cwds_jobs_ray.sources.wal import list_segments
+    big = pa.table({
+        "op": pa.array(["I"]), "lsn": pa.array([1 << 48], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01T00:00:00", "us")]),
+        "conv_id": pa.array(["c0"]), "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"]), "text": pa.array(["x"]),
+        "tool": pa.array([None], pa.string()),
+    })
+    d = os.path.join(workdir, "walbig")
+    os.makedirs(d)
+    pq.write_table(big, os.path.join(d, "seg-000.parquet"))
+    with pytest.raises(ValueError, match="does not fit below"):
+        list_segments(d, "a", NS)
+    assert list_segments(d, "default", 0)  # un-namespaced: allowed
