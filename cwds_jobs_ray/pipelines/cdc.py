@@ -74,8 +74,42 @@ def _with_writer_lock(fn):
     return wrapper
 
 
+def promote_to_incremental(job: "CDCJob", manifest: Manifest) -> Manifest:
+    """Primary job-mode finalizer: next scheduled run is incremental — the
+    reference's initial-mode savepoint promotion
+    (/root/reference/jobs-facilities-cws/src/main/java/gov/ca/cwds/jobs/cals/facility/cws/CwsInitialJobModeFinalizer.java:34-45)."""
+    if manifest.job_mode != INCREMENTAL_LOAD:
+        manifest.job_mode = INCREMENTAL_LOAD
+        manifest.commit(job.table_dir)
+    return manifest
+
+
+def make_export_finalizer(out_dir: str):
+    """Secondary publish finalizer: write the committed live table as
+    parquet under ``out_dir`` — the reference's secondary alias-swap
+    finalizer composed AFTER the savepoint promotion
+    (/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/elastic/ElasticsearchAliasFinalizer.java:19-24)."""
+
+    def export(job: "CDCJob", manifest: Manifest) -> Manifest:
+        job.read_table().write_parquet(out_dir)
+        return manifest
+
+    return export
+
+
 class CDCJob:
-    """One logical lake table maintained from a WAL of change events."""
+    """One logical lake table maintained from a WAL of change events.
+
+    ``finalizers``: ordered end-of-run hooks ``(job, manifest) -> Manifest |
+    None``, the reference's composable JobModeFinalizer chain (primary
+    savepoint promotion + secondary publish,
+    ElasticsearchAliasFinalizer.java:19-24). They run in order after the WAL
+    drains; a failing finalizer propagates WITHOUT undoing earlier
+    finalizers' committed effects (each owns its own commit) and without
+    running later ones — exactly-once holds because every applied batch was
+    already committed before finalization starts. Default: mode promotion
+    only.
+    """
 
     def __init__(
         self,
@@ -88,6 +122,7 @@ class CDCJob:
         merge_policy: str = "lww",
         delta_threshold: float = 0.25,
         max_delta_files: int = 8,
+        finalizers: list | None = None,
     ):
         self.table_dir = table_dir
         # multi-source CDC (the reference's composite-savepoint job shape,
@@ -119,6 +154,8 @@ class CDCJob:
         # instead of rewriting the partition base (merge-on-read)
         self.delta_threshold = delta_threshold
         self.max_delta_files = max_delta_files
+        self.finalizers = (list(finalizers) if finalizers is not None
+                           else [promote_to_incremental])
         self._locked = False  # writer-lock reentrancy flag
 
     # ------------------------------------------------------------------ run
@@ -251,11 +288,12 @@ class CDCJob:
             wdir, ns = self.wal_sources[name]
             manifest = self._apply_source(manifest, name, wdir, ns, multi,
                                           on_before_commit)
-        # finalize: next run is incremental (reference initial-mode finalizer,
-        # .../CwsInitialJobModeFinalizer.java:34-45)
-        if manifest.job_mode != INCREMENTAL_LOAD:
-            manifest.job_mode = INCREMENTAL_LOAD
-            manifest.commit(self.table_dir)
+        # finalize: the composable finalizer chain (primary mode promotion +
+        # any secondary publish steps) — reference composition at
+        # ElasticsearchAliasFinalizer.java:19-24
+        for fin in self.finalizers:
+            res = fin(self, manifest)
+            manifest = res if res is not None else manifest
         return manifest
 
     def _pin_source_namespaces(self, manifest: Manifest,

@@ -248,3 +248,52 @@ def test_cli_follow_knobs_without_optin_run_one_shot(workdir, capsys):
     assert out["applied_through_lsn"] == 20
     o = replay(d["base"], d["wal"], 2)
     assert out["rows"] == o.rows_applied
+
+
+def test_finalizer_chain_order_and_failure_isolation(workdir):
+    """Composable finalizers (the reference's primary savepoint promotion +
+    secondary publish chain): run in order; a failing finalizer propagates
+    without undoing earlier finalizers' committed effects or running later
+    ones; the drained batches stay committed."""
+    import pytest
+    from cwds_jobs_ray.pipelines.cdc import (CDCJob, make_export_finalizer,
+                                             promote_to_incremental)
+    from cwds_jobs_ray.state.manifest import INCREMENTAL_LOAD, Manifest
+
+    spec = WalSpec(seed=91, n_convs=5, turns_per_conv=2, n_events=30,
+                   n_segments=2)
+    d = synthesize(spec, workdir)
+    table = os.path.join(workdir, "table")
+    calls = []
+
+    def boom(job, manifest):
+        calls.append("boom")
+        raise RuntimeError("secondary publish failed")
+
+    def never(job, manifest):
+        calls.append("never")
+        return manifest
+
+    def tracked_promote(job, manifest):
+        calls.append("promote")
+        return promote_to_incremental(job, manifest)
+
+    job = CDCJob(table, os.path.join(workdir, "wal"), num_partitions=2,
+                 finalizers=[tracked_promote, boom, never])
+    with pytest.raises(RuntimeError, match="secondary publish failed"):
+        job.run(base_path=d["base_path"])
+    assert calls == ["promote", "boom"]  # order kept; later ones skipped
+    # the primary finalizer's committed effect survived the failure
+    m = Manifest.load(table)
+    assert m.job_mode == INCREMENTAL_LOAD
+    assert m.applied_through_lsn == 30  # drained batches stayed committed
+
+    # a secondary export finalizer actually publishes the live table
+    out_dir = os.path.join(workdir, "published")
+    job2 = CDCJob(table, os.path.join(workdir, "wal"), num_partitions=2,
+                  finalizers=[promote_to_incremental,
+                              make_export_finalizer(out_dir)])
+    job2.apply_wal()
+    import pyarrow.dataset as pads
+    o = replay(d["base"], d["wal"], 2)
+    assert pads.dataset(out_dir).to_table().num_rows == o.rows_applied
