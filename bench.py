@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "asof_join_latest_event",
     "sessionize_events",
     "clean_corpus",
+    # round-3 paths: raw-task connected components, keyed ANN final,
+    # block-vectorized simhash
+    "neardup_clusters",
+    "ann_lsh_topk",
+    "simhash_fingerprint",
 ]
 
 

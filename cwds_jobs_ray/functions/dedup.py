@@ -14,10 +14,10 @@ driver-side candidate/edge/label materialization, no full-corpus broadcasts.
   probability (1 - j^4)^16 ~ 2e-12 at j=0.95, so the verified output equals
   the brute-force pair set (tests assert equality; ``jaccard_pairs`` below
   is that brute-force verification baseline).
-- clusters: verified pairs -> iterative min-label propagation where BOTH the
-  edge set AND the node->label frontier stay keyed Datasets; each round is a
-  bucketed join edges|><|labels + per-bucket min-reduce, and the driver holds
-  only the per-round changed COUNT (frontier-size independence at 100 TB).
+- clusters: verified pairs -> min-label propagation + pointer jumping over
+  per-bucket object-store tables exchanged by direct task waves; the driver
+  holds only the per-round changed COUNT (frontier-size independence at
+  100 TB).
 
 Bucket counts default to ``default_n_buckets()`` — scaled to the cluster
 (4x CPUs, floor 64, env override ``CWDS_N_BUCKETS``) so reduce parallelism
@@ -52,6 +52,17 @@ def default_n_buckets() -> int:
     except Exception:  # noqa: BLE001 — sizing heuristic only
         cpus = 16
     return max(64, 4 * cpus)
+
+
+def sized_n_buckets(n_rows: int, rows_per_bucket: int = 200_000,
+                    lo: int = 8) -> int:
+    """Bucket count derived from BOTH terms the scaling story needs: data
+    size (one reduce bucket per ~rows_per_bucket input rows, so per-bucket
+    state stays bounded as data grows) capped by cluster size
+    (``default_n_buckets`` — more buckets than task slots just multiplies
+    scheduling/exchange overhead, which dominates on small inputs)."""
+    return int(min(default_n_buckets(),
+                   max(lo, -(-n_rows // rows_per_bucket))))
 
 
 def _doc_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -227,218 +238,286 @@ def minhash_signatures(batch: pa.Table, shingle: int = 3) -> pa.Table:
 _PERMS = _perm_params()
 
 
+_EMPTY_PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("jaccard", pa.float64())])
+
+DOCS_PER_BUCKET = 20_000  # verify-join bucket sizing: texts per reduce task
+
+_ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _band_rows(batch: pa.Table, nb: int, shingle: int) -> pd.DataFrame:
+    """Signatures -> (band, band_hash, doc_id, bucket) rows for one block."""
+    sig_t = minhash_signatures(batch, shingle=shingle)
+    sig = np.asarray(sig_t["sig"].to_pylist(), dtype=np.int64)
+    n = sig.shape[0]
+    doc = sig_t["doc_id"].to_numpy(zero_copy_only=False)
+    bands = sig.reshape(n, N_BANDS, _ROWS_PER_BAND)
+    bh = np.zeros((n, N_BANDS), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(_ROWS_PER_BAND):
+            bh = bh * np.int64(1000003) + bands[:, :, r]
+    band_col = np.repeat(np.arange(N_BANDS, dtype=np.int64), n)
+    bh_flat = bh.T.reshape(-1)
+    bucket = ((bh_flat.view(np.uint64) * np.uint64(31)
+               + band_col.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+    return pd.DataFrame({"band": band_col, "band_hash": bh_flat,
+                         "doc_id": np.tile(doc, N_BANDS), "bucket": bucket})
+
+
+# --- direct task-wave exchange for the LSH pipeline.
+# Rationale (measured): a Ray Data groupby sort-shuffle costs ~1-1.5 s of
+# fixed setup per stage at 32 CPUs regardless of payload; the candidate /
+# verify exchanges carry tiny int rows, so four groupby stages were pure
+# overhead (~7 s for 256 pairs at sf0.1). The same direct num_returns-sliced
+# task waves the CDC shuffle uses (stages/merge.py, measured ~10x cheaper
+# than Dataset sort-shuffle at this shape) replace them; Datasets remain the
+# API boundary (Dataset in, Dataset out).
+
+def _w1_split_bands(block: pa.Table, nb: int, shingle: int) -> list[pa.Table]:
+    """Wave 1: per signature block, band rows partitioned by band bucket."""
+    df = _band_rows(block, nb, shingle)
+    b = df.pop("bucket").to_numpy()
+    out = []
+    for j in range(nb):
+        sub = df[b == j]
+        out.append(pa.table({c: pa.array(sub[c].to_numpy()) for c in df.columns}))
+    return out
+
+
+def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
+    """Wave 2: one band bucket -> its candidate pairs (all pairs within each
+    identical (band, band_hash) group), deduped within the task, partitioned
+    by pair bucket."""
+    parts = [s.to_pandas() for s in slices if s.num_rows]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if not parts:
+        return [empty] * nb
+    df = pd.concat(parts, ignore_index=True)
+    out_a, out_b = [], []
+    for _, g in df.groupby(["band", "band_hash"], sort=False):
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            continue
+        ai, bj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bj])
+    if not out_a:
+        return [empty] * nb
+    pairs = (pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)})
+             .drop_duplicates())
+    pb = _pair_bucket(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy(), nb)
+    out = []
+    for j in range(nb):
+        sub = pairs[pb == j]
+        out.append(pa.table({"doc_a": pa.array(sub["doc_a"].to_numpy()),
+                             "doc_b": pa.array(sub["doc_b"].to_numpy())}))
+    return out
+
+
+def _w3_dedup_requests(nb: int, pbucket: int, *slices: pa.Table):
+    """Wave 3: one pair bucket -> (deduped pairs table, nb request slices
+    (doc_id, pbucket) partitioned by hash(doc_id))."""
+    parts = [s.to_pandas() for s in slices if s.num_rows]
+    if not parts:
+        empty_req = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "pbucket": pa.array([], pa.int64())})
+        return tuple([pa.table({"doc_a": pa.array([], pa.int64()),
+                                "doc_b": pa.array([], pa.int64())})]
+                     + [empty_req] * nb)
+    pairs = pd.concat(parts, ignore_index=True).drop_duplicates(
+        ["doc_a", "doc_b"])
+    ptbl = pa.table({"doc_a": pa.array(pairs["doc_a"].to_numpy()),
+                     "doc_b": pa.array(pairs["doc_b"].to_numpy())})
+    docs = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
+                                     pairs["doc_b"].to_numpy()]))
+    db = _doc_bucket(docs, nb)
+    reqs = []
+    for k in range(nb):
+        sub = docs[db == k]
+        reqs.append(pa.table({
+            "doc_id": pa.array(sub, pa.int64()),
+            "pbucket": pa.array(np.full(len(sub), pbucket), pa.int64())}))
+    return tuple([ptbl] + reqs)
+
+
+def _w1_split_docs(block: pa.Table, nb: int) -> list[pa.Table]:
+    """Partition a (doc_id, text) block by hash(doc_id)."""
+    if block.num_rows == 0 or "doc_id" not in block.column_names:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        return [empty] * nb
+    ids = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = _doc_bucket(ids, nb)
+    out = []
+    for j in range(nb):
+        mask = pa.array(b == j)
+        out.append(block.select(["doc_id", "text"]).filter(mask))
+    return out
+
+
+def _w4_attach(nb: int, n_doc_slices: int, *slices: pa.Table) -> list[pa.Table]:
+    """Wave 4: one doc bucket joins its requests to its texts and routes
+    (doc_id, text) to each requesting pair bucket."""
+    docs = [s for s in slices[:n_doc_slices] if s.num_rows]
+    reqs = [s.to_pandas() for s in slices[n_doc_slices:] if s.num_rows]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    if not docs or not reqs:
+        return [empty] * nb
+    dtbl = pa.concat_tables(docs).to_pandas().drop_duplicates("doc_id")
+    req = pd.concat(reqs, ignore_index=True).drop_duplicates()
+    out = req.merge(dtbl, on="doc_id", how="inner")
+    pb = out["pbucket"].to_numpy()
+    res = []
+    for j in range(nb):
+        sub = out[pb == j]
+        res.append(pa.table({
+            "doc_id": pa.array(sub["doc_id"].to_numpy().astype(np.int64)),
+            "text": pa.array(sub["text"].tolist(), pa.string())}))
+    return res
+
+
+def _w5_verify(threshold: float, shingle: int, pairs_tbl: pa.Table,
+               *text_slices: pa.Table) -> pa.Table:
+    """Wave 5: one pair bucket: local shingle matrix over ITS candidate docs
+    only, exact integer-intersection Jaccard for its pairs in one einsum."""
+    if pairs_tbl.num_rows == 0:
+        return _EMPTY_PAIRS.empty_table()
+    texts = [s for s in text_slices if s.num_rows]
+    docs = (pa.concat_tables(texts).to_pandas().drop_duplicates("doc_id")
+            .sort_values("doc_id"))
+    ids_s = docs["doc_id"].to_numpy().astype(np.int64)
+    vocab: dict[str, int] = {}
+    srows, scols = [], []
+    for r, tx in enumerate(docs["text"].tolist()):
+        for sh in set(_shingles(tx, shingle)):
+            scols.append(vocab.setdefault(sh, len(vocab)))
+            srows.append(r)
+    m = np.zeros((len(ids_s), len(vocab)), dtype=np.float32)
+    m[srows, scols] = 1.0
+    sz = m.sum(axis=1).astype(np.int64)
+    a = pairs_tbl["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)
+    ia = np.searchsorted(ids_s, a)
+    ib = np.searchsorted(ids_s, b)
+    # chunk the einsum: m[ia] materializes a (chunk x vocab) temporary, so
+    # the chunk bound — not the bucket's pair count — caps peak memory (a
+    # degenerate corpus can put millions of pairs in one bucket)
+    CH = 65_536
+    jac = np.empty(len(a), dtype=np.float64)
+    for s in range(0, len(a), CH):
+        e = s + CH
+        inter = np.einsum("ij,ij->i", m[ia[s:e]], m[ib[s:e]]).astype(np.int64)
+        jac[s:e] = inter / (sz[ia[s:e]] + sz[ib[s:e]] - inter)
+    keep = jac >= threshold
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table({"doc_a": pa.array(a[keep][order]),
+                     "doc_b": pa.array(b[keep][order]),
+                     "jaccard": pa.array(jac[keep][order])})
+
+
+def _norm(refs, nb):
+    return [[r] for r in refs] if nb == 1 else refs
+
+
+def _lsh_waves(ds: ray.data.Dataset, shingle: int, nb: int | None):
+    """Waves 1-3 shared by the candidate and verified pipelines: returns
+    (nb, materialized docs Dataset, per-pbucket pair refs, per-(pbucket ->
+    dbucket) request slice refs)."""
+    mat = ds.select_columns(["doc_id", "text"]).materialize()
+    nb = nb or sized_n_buckets(mat.count(), rows_per_bucket=DOCS_PER_BUCKET)
+    blocks = mat.to_arrow_refs()
+    w1_t = ray.remote(num_returns=nb)(_w1_split_bands)
+    w2_t = ray.remote(num_returns=nb)(_w2_band_pairs)
+    w3_t = ray.remote(num_returns=1 + nb)(_w3_dedup_requests)
+    w1 = _norm([w1_t.remote(b, nb, shingle) for b in blocks], nb)
+    w2 = _norm([w2_t.remote(nb, *[s[j] for s in w1]) for j in range(nb)], nb)
+    w3 = [w3_t.remote(nb, j, *[w[j] for w in w2]) for j in range(nb)]
+    pair_refs = [r[0] for r in w3]
+    req_slices = [r[1:] for r in w3]  # req_slices[j][k]: pbucket j -> dbucket k
+    return nb, mat, pair_refs, req_slices
+
+
 def lsh_candidate_pairs(ds: ray.data.Dataset, shingle: int = 1,
                         n_buckets: int | None = None) -> ray.data.Dataset:
-    """MinHash-LSH near-dup candidates: signature -> (band, band_hash) rows
-    -> BUCKETED groupby (same-bucket rows co-located by hash of the band
-    key, ``n_buckets`` reduce groups, vectorized within) -> within-bucket
-    pairs -> pair-bucket groupby dedup (pairs found by several bands collapse
-    to one row). Every shuffle carries small int rows only.
+    """MinHash-LSH near-dup candidates: block-vectorized signatures ->
+    (band, band_hash) rows co-located by band-bucket hash -> within-bucket
+    all-pairs -> per-pair-bucket dedup (pairs found by several bands collapse
+    to one row). Exchanged by direct task waves (see module rationale);
+    every slice carries small int rows only.
 
     ``shingle`` sets the feature granularity the estimated Jaccard is over:
     1 = word sets (matches ``jaccard_pairs``); 3+ = word n-gram shingles
     (the usual web-dedup choice when word order matters)."""
-    nb = n_buckets or default_n_buckets()
-    rows_per_band = N_PERM // N_BANDS
-
-    def explode_bands(batch: pa.Table) -> pa.Table:
-        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.int64)
-        n = sig.shape[0]
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bands = sig.reshape(n, N_BANDS, rows_per_band)
-        # hash each band row-tuple
-        bh = np.zeros((n, N_BANDS), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            for r in range(rows_per_band):
-                bh = bh * np.int64(1000003) + bands[:, :, r]
-        band_col = np.repeat(np.arange(N_BANDS, dtype=np.int64), n)
-        bh_flat = bh.T.reshape(-1)
-        bucket = ((bh_flat.view(np.uint64) * np.uint64(31)
-                   + band_col.view(np.uint64)) % np.uint64(nb)
-                  ).astype(np.int64)
-        return pa.table({
-            "band": pa.array(band_col, pa.int32()),
-            "band_hash": pa.array(bh_flat),
-            "doc_id": pa.array(np.tile(doc, N_BANDS)),
-            "bucket": pa.array(bucket),
-        })
-
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(g["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            ai, bj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ai])
-            out_b.append(ids[bj])
-        if not out_a:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "pbucket": pa.array([], pa.int64())})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        pb = _pair_bucket(a, b, nb)
-        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
-                         "pbucket": pa.array(pb)})
-
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-        return pa.Table.from_pandas(df[["doc_a", "doc_b"]],
-                                    preserve_index=False)
-
-    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow",
-                          fn_kwargs={"shingle": shingle})
-    bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    pairs = bands.groupby("bucket").map_groups(bucket_pairs,
-                                               batch_format="pyarrow")
-    return pairs.groupby("pbucket").map_groups(dedup_pairs,
-                                               batch_format="pyarrow")
+    _nb, _mat, pair_refs, _reqs = _lsh_waves(ds, shingle, n_buckets)
+    return ray.data.from_arrow_refs(pair_refs)
 
 
-_EMPTY_PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                          ("jaccard", pa.float64())])
+def _route_candidate_texts(ds: ray.data.Dataset, shingle: int,
+                           n_buckets: int | None = None) -> ray.data.Dataset:
+    """TEST/INSPECTION surface for the pairs<->texts hash-join: returns
+    (pbucket, doc_id, text) — each pair's two texts as routed to that pair's
+    verify bucket. The shipped path (lsh_verified_pairs) consumes the same
+    wave outputs directly."""
+    nb, mat, _pair_refs, req_slices = _lsh_waves(ds, shingle, n_buckets)
+    d1_t = ray.remote(num_returns=nb)(_w1_split_docs)
+    w4_t = ray.remote(num_returns=nb)(_w4_attach)
+    d1 = _norm([d1_t.remote(b, nb) for b in mat.to_arrow_refs()], nb)
+    w4 = _norm([w4_t.remote(nb, len(d1),
+                            *[s[k] for s in d1],
+                            *[req_slices[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
 
-# tagged-union schemas for the two bucketed hash-joins of the verify stage
-_REQ_SCHEMA = pa.schema([("dbucket", pa.int64()), ("side", pa.int8()),
-                         ("doc_id", pa.int64()), ("pbucket", pa.int64()),
-                         ("text", pa.string())])
-_VER_SCHEMA = pa.schema([("pbucket", pa.int64()), ("side", pa.int8()),
-                         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                         ("doc_id", pa.int64()), ("text", pa.string())])
+    @ray.remote
+    def tag(j: int, *slices: pa.Table) -> pa.Table:
+        parts = [s for s in slices if s.num_rows]
+        t = pa.concat_tables(parts) if parts else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string())})
+        return t.append_column("pbucket",
+                               pa.array(np.full(t.num_rows, j), pa.int64()))
 
-
-def _route_candidate_texts(ds: ray.data.Dataset, cands: ray.data.Dataset,
-                           n_buckets: int) -> ray.data.Dataset:
-    """Bucketed hash-join of candidate pairs to their documents' texts:
-    returns (pbucket, doc_id, text) — each pair's TWO texts routed to that
-    pair's verify bucket, fully distributed.
-
-    Shape: pairs emit int-only (doc_id, pbucket) requests (deduped per
-    block); requests and the corpus co-locate by hash(doc_id) into
-    ``n_buckets`` groups; each group inner-joins its requests to its docs and
-    emits the text once per requesting pbucket. No stage holds more than one
-    bucket of texts, and nothing is driver-resident.
-    """
-
-    def requests(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        pb = _pair_bucket(a, b, n_buckets)
-        doc = np.concatenate([a, b])
-        pb2 = np.concatenate([pb, pb])
-        df = pd.DataFrame({"doc_id": doc, "pbucket": pb2}).drop_duplicates()
-        n = len(df)
-        return pa.Table.from_arrays([
-            pa.array(_doc_bucket(df["doc_id"].to_numpy(), n_buckets)),
-            pa.array(np.zeros(n, np.int8)),
-            pa.array(df["doc_id"].to_numpy(), pa.int64()),
-            pa.array(df["pbucket"].to_numpy(), pa.int64()),
-            pa.nulls(n, pa.string()),
-        ], schema=_REQ_SCHEMA)
-
-    def tag_docs(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        return pa.Table.from_arrays([
-            pa.array(_doc_bucket(ids, n_buckets)),
-            pa.array(np.ones(n, np.int8)),
-            t["doc_id"],
-            pa.nulls(n, pa.int64()),
-            t["text"],
-        ], schema=_REQ_SCHEMA)
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        docs = df[df["side"] == 1][["doc_id", "text"]]
-        req = df[df["side"] == 0][["doc_id", "pbucket"]].drop_duplicates()
-        out = req.merge(docs, on="doc_id", how="inner")
-        out["pbucket"] = out["pbucket"].astype("int64")
-        return out[["pbucket", "doc_id", "text"]]
-
-    both = (cands.map_batches(requests, batch_format="pyarrow")
-            .union(ds.select_columns(["doc_id", "text"])
-                   .map_batches(tag_docs, batch_format="pyarrow")))
-    return both.groupby("dbucket").map_groups(attach, batch_format="pandas")
+    return ray.data.from_arrow_refs(
+        [tag.remote(j, *[w4[k][j] for k in range(nb)]) for j in range(nb)])
 
 
 def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
                        shingle: int = 1,
                        n_buckets: int | None = None) -> ray.data.Dataset:
     """Exact near-dup pairs at scale: LSH candidates, then an exact
-    shingle-set Jaccard verify over ONLY the candidate pairs — computed as a
-    DISTRIBUTED bucketed hash-join:
+    shingle-set Jaccard verify over ONLY the candidate pairs — a fully
+    DISTRIBUTED bucketed hash-join over direct task waves:
 
-    1. each candidate pair is assigned a verify bucket (hash of its id pair);
-    2. ``_route_candidate_texts`` joins pairs->texts by doc_id hash and
-       routes each pair's two texts to the pair's bucket;
+    1. band waves produce per-pair-bucket candidate pairs plus int-only
+       (doc_id, pbucket) text requests keyed by hash(doc_id);
+    2. each doc bucket inner-joins its requests to its texts and routes each
+       pair's two texts to the pair's verify bucket;
     3. each verify bucket builds a local shingle matrix over ITS docs only
-       and verifies its pairs in one einsum (intersections as integer dot
-       products — exact rationals, same math as the brute-force baseline).
+       and verifies its pairs in one einsum (integer intersections — exact
+       rationals, same math as the brute-force baseline).
 
-    Per-task memory is one bucket's candidate texts; the driver holds
-    nothing. Candidate-doc text volume crossing the wire is
-    O(candidate docs x requesting buckets), never O(corpus^2) or a broadcast.
-    """
-    nb = n_buckets or default_n_buckets()
-    cands = lsh_candidate_pairs(ds, shingle=shingle,
-                                n_buckets=nb).materialize()
-    if cands.count() == 0:
-        return ray.data.from_arrow(_EMPTY_PAIRS.empty_table())
-
-    routed = _route_candidate_texts(ds, cands, nb)
-
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        n = len(a)
-        return pa.Table.from_arrays([
-            pa.array(_pair_bucket(a, b, nb)),
-            pa.array(np.zeros(n, np.int8)),
-            t["doc_a"], t["doc_b"],
-            pa.nulls(n, pa.int64()),
-            pa.nulls(n, pa.string()),
-        ], schema=_VER_SCHEMA)
-
-    def tag_texts(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.Table.from_arrays([
-            t["pbucket"],
-            pa.array(np.ones(n, np.int8)),
-            pa.nulls(n, pa.int64()), pa.nulls(n, pa.int64()),
-            t["doc_id"], t["text"],
-        ], schema=_VER_SCHEMA)
-
-    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        docs = df[df["side"] == 1].drop_duplicates("doc_id")
-        docs = docs.sort_values("doc_id")
-        ids_s = docs["doc_id"].to_numpy().astype(np.int64)
-        vocab: dict[str, int] = {}
-        srows, scols = [], []
-        for r, tx in enumerate(docs["text"].tolist()):
-            for sh in set(_shingles(tx, shingle)):
-                scols.append(vocab.setdefault(sh, len(vocab)))
-                srows.append(r)
-        m = np.zeros((len(ids_s), len(vocab)), dtype=np.float32)
-        m[srows, scols] = 1.0
-        sz = m.sum(axis=1).astype(np.int64)
-        pairs = df[df["side"] == 0]
-        a = pairs["doc_a"].to_numpy().astype(np.int64)
-        b = pairs["doc_b"].to_numpy().astype(np.int64)
-        ia = np.searchsorted(ids_s, a)
-        ib = np.searchsorted(ids_s, b)
-        inter = np.einsum("ij,ij->i", m[ia], m[ib]).astype(np.int64)
-        jac = inter / (sz[ia] + sz[ib] - inter)
-        keep = jac >= threshold
-        order = np.lexsort((b[keep], a[keep]))
-        return pd.DataFrame({"doc_a": a[keep][order],
-                             "doc_b": b[keep][order],
-                             "jaccard": jac[keep][order]})
-
-    both = (cands.map_batches(tag_pairs, batch_format="pyarrow")
-            .union(routed.map_batches(tag_texts, batch_format="pyarrow")))
-    return both.groupby("pbucket").map_groups(verify_bucket,
-                                              batch_format="pandas")
+    Per-task memory is one bucket's candidate texts; the driver holds only
+    object refs. Candidate-doc text volume crossing the wire is
+    O(candidate docs x requesting buckets), never O(corpus^2) or a
+    broadcast. LSH at 16 bands x 4 rows misses a >=0.95-Jaccard pair with
+    probability ~2e-12, so the verified output equals the brute-force pair
+    set (tests assert equality)."""
+    nb, mat, pair_refs, req_slices = _lsh_waves(ds, shingle, n_buckets)
+    d1_t = ray.remote(num_returns=nb)(_w1_split_docs)
+    w4_t = ray.remote(num_returns=nb)(_w4_attach)
+    w5_t = ray.remote(_w5_verify)
+    d1 = _norm([d1_t.remote(b, nb) for b in mat.to_arrow_refs()], nb)
+    w4 = _norm([w4_t.remote(nb, len(d1),
+                            *[s[k] for s in d1],
+                            *[req_slices[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
+    out = [w5_t.remote(threshold, shingle, pair_refs[j],
+                       *[w4[k][j] for k in range(nb)])
+           for j in range(nb)]
+    return ray.data.from_arrow_refs(out)
 
 
 # ----------------------------------------------- connected components
@@ -575,10 +654,14 @@ def connected_components(pairs: ray.data.Dataset,
     Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
     component; singletons are omitted (only docs appearing in pairs).
     """
-    nb = n_buckets or default_n_buckets()
     src = pairs.select_columns(["doc_a", "doc_b"]).materialize()
-    if src.count() == 0:
+    n_pairs = src.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(_EMPTY_CLUSTERS.empty_table())
+    # bucket count sized to the EDGE volume (capped by cluster size): small
+    # graphs get few wide waves, web-scale graphs get per-bucket state that
+    # stays bounded
+    nb = n_buckets or sized_n_buckets(2 * n_pairs)
     blocks = src.to_arrow_refs()
 
     def norm(refs):

@@ -120,7 +120,9 @@ _ROLL_MOD_MASK = np.uint64((1 << 61) - 1)
 
 
 def _kgram_hashes(text: str) -> np.ndarray:
-    """Polynomial rolling hashes of all k-grams — one vectorized pass."""
+    """Polynomial rolling hashes of all k-grams — one vectorized pass.
+    (Single-doc helper kept for tests/reference; the shipped batch path
+    below hashes every doc's bytes in one concatenated pass.)"""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     n = len(b) - WINNOW_K + 1
     if n <= 0:
@@ -131,25 +133,83 @@ def _kgram_hashes(text: str) -> np.ndarray:
     return h
 
 
+def _segmented_arange(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(starts[i], starts[i]+lengths[i]) — the
+    standard vectorized segmented-range construction."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    excl = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=excl[1:])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(excl, lengths) + np.repeat(starts, lengths))
+
+
 def winnow_fingerprints(batch: pa.Table) -> pa.Table:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
     public algorithm): k-gram rolling hashes -> per-window minima -> the
     document's fingerprint set. Emits set size + min fingerprint per doc
-    (compact sketch columns; the full set is derivable deterministically)."""
+    (compact sketch columns; the full set is derivable deterministically).
+
+    Vectorized across the WHOLE block: all docs' bytes concatenate into one
+    buffer hashed in K passes; k-grams spanning doc boundaries are excluded
+    by per-doc valid ranges; window minima come from one global sliding-min;
+    per-doc distinct counts from one lexsort + run-boundary scan. The only
+    per-doc Python is the encode."""
     texts = batch["text"].to_pylist()
-    n_fp = np.zeros(len(texts), dtype=np.int64)
-    min_fp = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        h = _kgram_hashes(t)
-        if len(h) == 0:
-            continue
-        if len(h) <= WINNOW_W:
-            fps = {int(h.min())}
-        else:
-            windows = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
-            fps = set(windows.min(axis=1).tolist())
-        n_fp[i] = len(fps)
-        min_fp[i] = min(fps)  # < 2^61, fits int64
+    n = len(texts)
+    n_fp = np.zeros(n, dtype=np.int64)
+    min_fp = np.zeros(n, dtype=np.int64)
+    if n == 0 or not any(texts):
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_fingerprints": pa.array(n_fp),
+                         "min_fingerprint": pa.array(min_fp)})
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    bstart = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=bstart[1:])
+    nh = np.maximum(lens - WINNOW_K + 1, 0)  # valid k-gram count per doc
+    gN = len(big) - WINNOW_K + 1
+    h = np.zeros(max(gN, 0), dtype=np.uint64)
+    for j in range(WINNOW_K):
+        h = (h * _ROLL_BASE + big[j:j + gN]) & _ROLL_MOD_MASK
+    # hashes at positions bstart[i]..bstart[i]+nh[i]-1 use doc i's bytes
+    # only; later positions span into the next doc and are excluded.
+    # Window minima: docs with nh > W take the global sliding-min at their
+    # valid window starts; docs with 0 < nh <= W have ONE fingerprint = the
+    # min over all their k-gram hashes.
+    if gN >= WINNOW_W:
+        wmin = np.lib.stride_tricks.sliding_window_view(
+            h, WINNOW_W).min(axis=1)
+    else:
+        wmin = np.zeros(0, dtype=np.uint64)
+    long = nh > WINNOW_W
+    nw = np.where(long, nh - WINNOW_W + 1, (nh > 0).astype(np.int64))
+    # gather per-doc fingerprint-candidate values into one segmented array
+    long_idx = _segmented_arange(bstart[long], nw[long])
+    long_vals = wmin[long_idx]
+    short = (~long) & (nh > 0)
+    short_idx = _segmented_arange(bstart[short], nh[short])
+    if len(short_idx):
+        sh = h[short_idx]
+        sstarts = np.zeros(int(short.sum()), dtype=np.int64)
+        np.cumsum(nh[short][:-1], out=sstarts[1:])
+        short_vals = np.minimum.reduceat(sh, sstarts)
+    else:
+        short_vals = np.zeros(0, dtype=np.uint64)
+    vals = np.concatenate([long_vals, short_vals])
+    doc_of = np.concatenate([np.repeat(np.flatnonzero(long), nw[long]),
+                             np.flatnonzero(short)])
+    if len(vals):
+        order = np.lexsort((vals, doc_of))
+        sv, sd = vals[order], doc_of[order]
+        new_run = np.ones(len(sv), dtype=bool)
+        new_run[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        np.add.at(n_fp, sd[new_run], 1)
+        first = np.ones(len(sd), dtype=bool)
+        first[1:] = sd[1:] != sd[:-1]
+        min_fp[sd[first]] = sv[first].view(np.int64)  # < 2^61, fits int64
     return pa.table({"doc_id": batch["doc_id"],
                      "n_fingerprints": pa.array(n_fp),
                      "min_fingerprint": pa.array(min_fp)})
@@ -166,22 +226,34 @@ def _word_hashes(words: list[str]) -> np.ndarray:
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over word features — near-duplicate fingerprint where
-    Hamming distance tracks content similarity."""
+    Hamming distance tracks content similarity.
+
+    Vectorized across the WHOLE block: every doc's words are hashed in one
+    ``hash_array`` call, per-bit ones-counts come from one
+    ``np.add.reduceat`` over the concatenated bit matrix, and the final
+    bit-packing is a single matmul — no per-document Python work beyond the
+    split."""
     texts = batch["text"].to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
+    n = len(texts)
+    if n == 0:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array([], pa.int64())})
+    words: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
     for i, t in enumerate(texts):
-        ws = t.split(" ")
-        if not ws:
-            continue
-        hs = _word_hashes(ws)
-        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1)
-        # signed arithmetic: bits.sum is uint64 and 2*ones - n would wrap
-        # for minority bits, spuriously setting them
-        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(hs)
-        sim = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = sim
+        ws = t.split(" ")  # always >= 1 token ("" splits to [""])
+        words.extend(ws)
+        counts[i] = len(ws)
+    hs = _word_hashes(words)
+    bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+    # signed arithmetic: 2*ones - count would wrap in uint64 for minority
+    # bits, spuriously setting them
+    votes = 2 * ones - counts[:, None]
+    out = ((votes > 0).astype(np.uint64)
+           @ (np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64)))
     return pa.table({
         "doc_id": batch["doc_id"],
         "simhash": pa.array(out.view(np.int64)),

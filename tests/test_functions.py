@@ -317,7 +317,7 @@ def test_verify_stage_text_volume_bounded_per_task():
     nb = 16
     cands = lsh_candidate_pairs(ds, shingle=1, n_buckets=nb).materialize()
     assert cands.count() > 100  # every doc is a candidate here
-    routed = _route_candidate_texts(ds, cands, nb).to_pandas()
+    routed = _route_candidate_texts(ds, 1, n_buckets=nb).to_pandas()
     total_cand_docs = routed["doc_id"].nunique()
     assert total_cand_docs == t.num_rows  # all docs in some cluster
     per_bucket = routed.groupby("pbucket")["doc_id"].nunique()
