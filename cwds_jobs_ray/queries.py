@@ -1043,6 +1043,79 @@ def events_hopping_window(sf_dir: str):
     return _tree_agg(ds, explode, final, bucket_on="user_id")
 
 
+TOP_NGRAMS_K = 20
+STRAT_RATE = {"en": 30}  # percent kept per lang; default below
+STRAT_DEFAULT_RATE = 60
+
+
+def top_ngrams(sf_dir: str):
+    """Corpus-level top-K word bigrams by count (vocabulary/n-gram stats —
+    a standard LLM-data profiling pass). Exact over UNBOUNDED key
+    cardinality: per-block bigram counts (block-local string assembly, the
+    shingling pattern) -> keyed bucket totals (a bigram never spans
+    buckets, so per-bucket top-K is complete for its keys) -> one bounded
+    final over nb x K candidate rows. Deterministic tiebreak on the ngram."""
+    from .functions.dedup import default_n_buckets
+    from .stages.partition import hash_strings
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    nb = default_n_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for tx in t["text"].to_pylist():
+            ws = tx.split(" ")
+            grams.extend(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        c = pd.Series(grams, dtype="object").value_counts()
+        out = pa.table({"ngram": pa.array(c.index.to_numpy(), pa.string()),
+                        "n": pa.array(c.to_numpy(), pa.int64())})
+        bucket = (hash_strings(out["ngram"]) % np.uint64(nb)).astype(np.int64)
+        return out.append_column("_bucket", pa.array(bucket))
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "ngram"], ascending=[False, True],
+                          kind="stable").head(TOP_NGRAMS_K)
+        return g[["ngram", "n"]]
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "ngram"],
+                                       ascending=[False, True],
+                                       kind="stable").head(TOP_NGRAMS_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
+    per_bucket = partials.groupby("_bucket").map_groups(
+        bucket_topk, batch_format="pandas")
+    # bounded final: nb x K rows
+    return per_bucket.repartition(1).map_batches(final,
+                                                 batch_format="pyarrow",
+                                                 batch_size=None)
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sampling: keep a doc iff
+    md5(text) mod 100 falls under its language's rate — a pure function of
+    the record (training-data sampling must never depend on row order or
+    partitioning), with per-stratum rates."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        import hashlib
+        h = np.fromiter(
+            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 100
+             for x in t["text"].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        langs = t["lang"].to_pylist()
+        rate = np.fromiter(
+            (STRAT_RATE.get(lg, STRAT_DEFAULT_RATE) for lg in langs),
+            dtype=np.int64, count=t.num_rows)
+        return t.select(["doc_id", "lang"]).filter(pa.array(h < rate))
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=4096)
+
+
 def multimodal_frame_pipeline(sf_dir: str):
     """The full multimodal actor-pool chain over opaque binary payloads:
     distributed media construction -> image resize (non-images pass
@@ -1146,6 +1219,8 @@ QUERIES = {
     "events_hopping_window": events_hopping_window,
     "clean_corpus": clean_corpus,
     "sample_by_token_budget": sample_by_token_budget,
+    "top_ngrams": top_ngrams,
+    "stratified_sample": stratified_sample,
 }
 
 
@@ -1460,6 +1535,19 @@ ORACLE_SQL.update({
         SELECT user_id, window_start, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS sum_value
         FROM w GROUP BY 1, 2
+    """,
+    "top_ngrams": f"""
+        WITH d AS (SELECT STRING_SPLIT(text, ' ') AS ws FROM documents),
+        g AS (SELECT UNNEST([CONCAT_WS(' ', ws[i], ws[i+1])
+                             FOR i IN RANGE(1, LEN(ws))]) AS ngram FROM d)
+        SELECT ngram, COUNT(*) AS n FROM g
+        GROUP BY ngram ORDER BY n DESC, ngram LIMIT {TOP_NGRAMS_K}
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || SUBSTR(MD5(text), 1, 8))::UBIGINT % 100 <
+              CASE WHEN lang = 'en' THEN {STRAT_RATE["en"]}
+                   ELSE {STRAT_DEFAULT_RATE} END
     """,
     "embedding_neardup_pairs": f"""
         WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
