@@ -426,7 +426,13 @@ def _norm(refs, nb):
 def _lsh_waves(ds: ray.data.Dataset, shingle: int, nb: int | None):
     """Waves 1-3 shared by the candidate and verified pipelines: returns
     (nb, materialized docs Dataset, per-pbucket pair refs, per-(pbucket ->
-    dbucket) request slice refs)."""
+    dbucket) request slice refs).
+
+    ``mat`` is a one-pass materialization whose blocks live in the
+    (spillable) object store — the same lifetime a sort-shuffle's map
+    outputs would have — and is consumed twice without recompute (signature
+    wave + text-routing wave). Everything exchanged between waves is either
+    int rows or the candidate docs' texts; the corpus itself never moves."""
     mat = ds.select_columns(["doc_id", "text"]).materialize()
     nb = nb or sized_n_buckets(mat.count(), rows_per_bucket=DOCS_PER_BUCKET)
     blocks = mat.to_arrow_refs()

@@ -417,3 +417,19 @@ def test_connected_components_random_vs_union_find():
     exp_label = {x: min(s) for r, s in expected.items() for x in s}
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == exp_label
+
+
+def test_verified_pairs_block_structure_invariant():
+    """Results must be independent of input block boundaries (combine-time
+    state never leaks across the exchange)."""
+    from cwds_jobs_ray.functions.dedup import lsh_verified_pairs
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = (lsh_verified_pairs(ray.data.from_arrow(t).repartition(3), 0.95,
+                            shingle=1).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    b = (lsh_verified_pairs(ray.data.from_arrow(t).repartition(11), 0.95,
+                            shingle=1).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(a) > 0
+    assert a.equals(b)
