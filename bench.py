@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "ann_lsh_topk",
     "simhash_fingerprint",
+    "top_ngrams",
 ]
 
 

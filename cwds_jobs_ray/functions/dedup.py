@@ -278,11 +278,9 @@ def _w1_split_bands(block: pa.Table, nb: int, shingle: int) -> list[pa.Table]:
     """Wave 1: per signature block, band rows partitioned by band bucket."""
     df = _band_rows(block, nb, shingle)
     b = df.pop("bucket").to_numpy()
-    out = []
-    for j in range(nb):
-        sub = df[b == j]
-        out.append(pa.table({c: pa.array(sub[c].to_numpy()) for c in df.columns}))
-    return out
+    cols = {c: df[c].to_numpy() for c in df.columns}
+    return [pa.table({c: pa.array(v[idx]) for c, v in cols.items()})
+            for idx in _bucket_slices(b, nb)]
 
 
 def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
@@ -308,13 +306,11 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     pairs = (pd.DataFrame({"doc_a": np.concatenate(out_a),
                            "doc_b": np.concatenate(out_b)})
              .drop_duplicates())
-    pb = _pair_bucket(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy(), nb)
-    out = []
-    for j in range(nb):
-        sub = pairs[pb == j]
-        out.append(pa.table({"doc_a": pa.array(sub["doc_a"].to_numpy()),
-                             "doc_b": pa.array(sub["doc_b"].to_numpy())}))
-    return out
+    da = pairs["doc_a"].to_numpy()
+    db_ = pairs["doc_b"].to_numpy()
+    pb = _pair_bucket(da, db_, nb)
+    return [pa.table({"doc_a": pa.array(da[idx]), "doc_b": pa.array(db_[idx])})
+            for idx in _bucket_slices(pb, nb)]
 
 
 def _w3_dedup_requests(nb: int, pbucket: int, *slices: pa.Table):
@@ -334,12 +330,10 @@ def _w3_dedup_requests(nb: int, pbucket: int, *slices: pa.Table):
     docs = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
                                      pairs["doc_b"].to_numpy()]))
     db = _doc_bucket(docs, nb)
-    reqs = []
-    for k in range(nb):
-        sub = docs[db == k]
-        reqs.append(pa.table({
-            "doc_id": pa.array(sub, pa.int64()),
-            "pbucket": pa.array(np.full(len(sub), pbucket), pa.int64())}))
+    reqs = [pa.table({
+        "doc_id": pa.array(docs[idx], pa.int64()),
+        "pbucket": pa.array(np.full(len(idx), pbucket), pa.int64())})
+        for idx in _bucket_slices(db, nb)]
     return tuple([ptbl] + reqs)
 
 
@@ -351,11 +345,8 @@ def _w1_split_docs(block: pa.Table, nb: int) -> list[pa.Table]:
         return [empty] * nb
     ids = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     b = _doc_bucket(ids, nb)
-    out = []
-    for j in range(nb):
-        mask = pa.array(b == j)
-        out.append(block.select(["doc_id", "text"]).filter(mask))
-    return out
+    sel = block.select(["doc_id", "text"])
+    return [sel.take(pa.array(idx)) for idx in _bucket_slices(b, nb)]
 
 
 def _w4_attach(nb: int, n_doc_slices: int, *slices: pa.Table) -> list[pa.Table]:
@@ -371,13 +362,11 @@ def _w4_attach(nb: int, n_doc_slices: int, *slices: pa.Table) -> list[pa.Table]:
     req = pd.concat(reqs, ignore_index=True).drop_duplicates()
     out = req.merge(dtbl, on="doc_id", how="inner")
     pb = out["pbucket"].to_numpy()
-    res = []
-    for j in range(nb):
-        sub = out[pb == j]
-        res.append(pa.table({
-            "doc_id": pa.array(sub["doc_id"].to_numpy().astype(np.int64)),
-            "text": pa.array(sub["text"].tolist(), pa.string())}))
-    return res
+    oid = out["doc_id"].to_numpy().astype(np.int64)
+    otxt = out["text"].to_numpy()
+    return [pa.table({"doc_id": pa.array(oid[idx]),
+                      "text": pa.array(otxt[idx].tolist(), pa.string())})
+            for idx in _bucket_slices(pb, nb)]
 
 
 def _w5_verify(threshold: float, shingle: int, pairs_tbl: pa.Table,
@@ -532,16 +521,21 @@ _EMPTY_CLUSTERS = pa.schema([("doc_id", pa.int64()),
                              ("cluster_id", pa.int64())])
 
 
+def _bucket_slices(b: np.ndarray, nb: int):
+    """One stable sort -> per-bucket index slices (O(n log n), not O(nb*n)
+    boolean masks — nb can be in the hundreds at cluster scale)."""
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(nb + 1))
+    return [order[bounds[j]:bounds[j + 1]] for j in range(nb)]
+
+
 def _split_int_tbl(df: pd.DataFrame, key: str, nb: int) -> list[pa.Table]:
     """Partition an all-int64 frame into nb Arrow tables by hash(key)."""
-    b = _doc_bucket(df[key].to_numpy().astype(np.int64), nb)
-    out = []
-    for j in range(nb):
-        sub = df[b == j]
-        out.append(pa.table({c: pa.array(sub[c].to_numpy().astype(np.int64),
-                                         pa.int64())
-                             for c in df.columns}))
-    return out
+    cols = {c: df[c].to_numpy().astype(np.int64) for c in df.columns}
+    b = _doc_bucket(cols[key], nb)
+    return [pa.table({c: pa.array(v[idx], pa.int64())
+                      for c, v in cols.items()})
+            for idx in _bucket_slices(b, nb)]
 
 
 def _cc_split_edges(block: pa.Table, nb: int) -> list[pa.Table]:
