@@ -19,10 +19,11 @@ driver-side candidate/edge/label materialization, no full-corpus broadcasts.
   holds only the per-round changed COUNT (frontier-size independence at
   100 TB).
 
-Bucket counts default to ``default_n_buckets()`` — scaled to the cluster
-(4x CPUs, floor 64, env override ``CWDS_N_BUCKETS``) so reduce parallelism
-and per-bucket state shrink as the cluster grows; results are
-bucket-count-independent (tested).
+Bucket counts come from ``sized_n_buckets`` — data volume divided into
+bounded per-bucket chunks, capped by the cluster-derived
+``default_n_buckets()`` (env override ``CWDS_N_BUCKETS``) — so small inputs
+get few wide waves while web-scale inputs keep per-bucket state bounded;
+results are bucket-count-independent (tested).
 """
 
 from __future__ import annotations

@@ -335,3 +335,29 @@ def test_raw_lsn_must_fit_below_namespace_shift(workdir):
     with pytest.raises(ValueError, match="does not fit below"):
         list_segments(d, "a", NS)
     assert list_segments(d, "default", 0)  # un-namespaced: allowed
+
+
+def test_pinned_namespaces_survive_compact_and_reshard(workdir):
+    """compact() and reshard() rebuild the manifest — the pinned
+    source->namespace map must carry through both."""
+    spec_a = WalSpec(seed=51, n_convs=6, turns_per_conv=2, n_events=30,
+                     n_segments=2)
+    spec_b = WalSpec(seed=52, n_convs=6, turns_per_conv=2, n_events=20,
+                     n_segments=1)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a, spec_b)
+    srcs = {"a": os.path.join(workdir, "wal_a"),
+            "b": os.path.join(workdir, "wal_b")}
+    job = CDCJob(os.path.join(workdir, "table"), srcs,
+                 num_partitions=P, events_per_batch=10**9)
+    m = job.run(base_path=base_path)
+    pinned = dict(m.source_namespaces)
+    assert pinned == {"a": NS, "b": 2 * NS}
+    m2 = job.compact(tombstone_horizon_lsn=0)
+    assert m2.source_namespaces == pinned
+    m3 = job.reshard(P * 2)
+    assert m3.source_namespaces == pinned
+    # and a fresh job instance still validates/applies cleanly
+    job2 = CDCJob(os.path.join(workdir, "table"), srcs,
+                  num_partitions=P * 2, events_per_batch=10**9)
+    m4 = job2.apply_wal()
+    assert m4.source_namespaces == pinned
