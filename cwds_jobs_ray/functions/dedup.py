@@ -95,12 +95,13 @@ def exact_dedup(ds: ray.data.Dataset,
     winner row's ``keep_cols``, e.g. the text itself for downstream near-dup
     stages — identical text implies identical derived columns).
 
-    Scale shape: per-block pre-reduce (distinct texts per block) -> shuffle
-    keyed by content hash into coarse buckets -> vectorized per-bucket
-    reduce. The text crosses the wire once per distinct value per block, and
-    no stage sees more than one bucket of distinct texts.
+    Scale shape: per-block pre-reduce (distinct texts per block) -> direct
+    bucket exchange keyed by content hash (stages/waves.py) -> vectorized
+    per-bucket reduce. The text crosses the wire once per distinct value per
+    block, and no stage sees more than one bucket of distinct texts.
     """
     from ..stages.partition import hash_strings
+    from ..stages.waves import wave_group_reduce
 
     nb = n_buckets or default_n_buckets()
     keep = [c for c in (keep_cols or []) if c != "text"]
@@ -122,7 +123,7 @@ def exact_dedup(ds: ray.data.Dataset,
         return pa.Table.from_pandas(g[out_cols], preserve_index=False)
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
-    return pre_ds.groupby("bucket").map_groups(final, batch_format="pyarrow")
+    return wave_group_reduce(pre_ds, "bucket", nb, final)
 
 
 # ------------------------------------------- word-set Jaccard (brute force)

@@ -78,16 +78,21 @@ def bucketed_asof_join(
             .union(right.map_batches(tag(1, right_by), batch_format="pyarrow")))
 
     rsort = [right_on] + list(right_tiebreak or [])
+    out_schema = pa.schema([(c, ltypes[c]) for c in lcols]
+                           + [(c, rtypes[c]) for c in rcols])
 
-    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         l = df[df["side"] == 0][lcols].sort_values(left_on, kind="stable")
         r = df[df["side"] == 1][rcols].sort_values(rsort, kind="stable")
         if l.empty or r.empty:
-            return pd.DataFrame(columns=lcols + rcols)
+            return out_schema.empty_table()
         out = pd.merge_asof(l, r, left_on=left_on, right_on=right_on,
                             left_by=left_by, right_by=right_by,
                             direction="backward")
-        return out.dropna(subset=[right_by])
+        return pa.Table.from_pandas(out.dropna(subset=[right_by]),
+                                    preserve_index=False)
 
-    return both.groupby("bucket").map_groups(asof_bucket,
-                                             batch_format="pandas")
+    from ..stages.waves import wave_group_reduce
+
+    return wave_group_reduce(both, "bucket", n_buckets, asof_bucket)

@@ -63,10 +63,13 @@ def _tree_agg(ds: ray.data.Dataset, partial_fn, final_fn,
     - ``bucket_on=None``: single final task — correct when the GROUP-KEY
       cardinality is bounded (op codes, return flags, top-k, min/max);
       measured 7-15x faster than the generic sort-based ``groupby`` there.
-    - ``bucket_on=<int key column>``: the finals shuffle into
+    - ``bucket_on=<int key column>``: the finals exchange into
       ``n_buckets`` (default cluster-scaled, see ``_agg_buckets``) coarse
-      hash buckets (keys never span buckets) and reduce vectorized per
-      bucket — the shape for UNBOUNDED key cardinality (per-user, per-event
+      hash buckets (keys never span buckets) via the DIRECT task-wave
+      reduce (stages/waves.py — a Dataset groupby's sort-shuffle costs
+      ~1-1.5 s of fixed setup regardless of payload, pure overhead for
+      pre-reduced partial rows) and reduce vectorized per bucket — the
+      shape for UNBOUNDED key cardinality (per-user, per-event
       aggregates), the same fixed-partition structure the CDC engine's
       combine/merge uses.
     """
@@ -77,6 +80,7 @@ def _tree_agg(ds: ray.data.Dataset, partial_fn, final_fn,
             final_fn, batch_format="pyarrow", batch_size=None)
 
     from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
 
     nb = n_buckets or _agg_buckets()
 
@@ -84,12 +88,9 @@ def _tree_agg(ds: ray.data.Dataset, partial_fn, final_fn,
         b = _int_bucket(t[bucket_on].to_numpy(zero_copy_only=False), nb)
         return t.append_column("_bucket", pa.array(b))
 
-    def final_bucket(t: pa.Table) -> pa.Table:
-        return final_fn(t.drop_columns(["_bucket"]))
-
-    return (partials.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(final_bucket,
-                                           batch_format="pyarrow"))
+    return wave_group_reduce(
+        partials.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, final_fn)
 
 
 def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
@@ -661,9 +662,15 @@ def sessionize_events(sf_dir: str):
         return out[["user_id", "session_id", "n", "session_start",
                     "session_end"]]
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(sessionize_bucket, batch_format="pandas"))
+    from .stages.waves import wave_group_reduce
+
+    def sessionize_tbl(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(sessionize_bucket(t.to_pandas()),
+                                    preserve_index=False)
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, sessionize_tbl)
 
 
 # --------------------------------------------------------------------------
@@ -905,18 +912,22 @@ def clean_corpus(sf_dir: str):
             t["doc_id"], pa.nulls(len(ids), pa.int64()),
         ], schema=aschema)
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
+    def anti(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         bad = df[df["side"] == 1]["doc_id"].to_numpy()
         keep = df[df["side"] == 0]
         keep = keep[~keep["doc_id"].isin(bad)]
-        out = keep[["doc_id", "n_words"]].copy()
-        out["n_words"] = out["n_words"].astype("int64")
-        return out
+        return pa.table({
+            "doc_id": pa.array(keep["doc_id"].to_numpy().astype(np.int64)),
+            "n_words": pa.array(keep["n_words"].to_numpy().astype(np.int64)),
+        })
+
+    from .stages.waves import wave_group_reduce
 
     both = (winners.select_columns(["doc_id", "n_words"])
             .map_batches(tag_winners, batch_format="pyarrow")
             .union(clusters.map_batches(tag_noncanon, batch_format="pyarrow")))
-    return both.groupby("abucket").map_groups(anti, batch_format="pandas")
+    return wave_group_reduce(both, "abucket", nb, anti)
 
 
 def sample_by_token_budget(sf_dir: str):
@@ -1084,10 +1095,15 @@ def top_ngrams(sf_dir: str):
                                        kind="stable").head(TOP_NGRAMS_K)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from .stages.waves import wave_group_reduce
+
+    def bucket_topk_tbl(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(bucket_topk(t.to_pandas()),
+                                    preserve_index=False)
+
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=4096)
-    per_bucket = partials.groupby("_bucket").map_groups(
-        bucket_topk, batch_format="pandas")
+    per_bucket = wave_group_reduce(partials, "_bucket", nb, bucket_topk_tbl)
     # bounded final: nb x K rows
     return per_bucket.repartition(1).map_batches(final,
                                                  batch_format="pyarrow",
