@@ -70,15 +70,22 @@ def _keyed_topk_final(partials: ray.data.Dataset, k: int,
         b = _int_bucket(t["query_id"].to_numpy(zero_copy_only=False), nb)
         return t.append_column("_bucket", pa.array(b))
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "vec_id"], ascending=[False, True],
-                            kind="stable")
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["sim", "vec_id"],
+                                       ascending=[False, True], kind="stable")
         out = df.groupby("query_id", sort=False).head(k).copy()
         out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-        return out[["query_id", "vec_id", "rank"]]
+        return pa.table({
+            "query_id": pa.array(out["query_id"].to_numpy().astype(np.int64)),
+            "vec_id": pa.array(out["vec_id"].to_numpy().astype(np.int64)),
+            "rank": pa.array(out["rank"].to_numpy().astype(np.int64)),
+        })
 
-    return (partials.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(final, batch_format="pandas"))
+    from ..stages.waves import wave_group_reduce
+
+    return wave_group_reduce(
+        partials.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, final)
 
 
 def cosine_topk(ds: ray.data.Dataset, queries: np.ndarray,
