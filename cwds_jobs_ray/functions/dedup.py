@@ -4,7 +4,7 @@ exact-verified pairs), duplicate clusters.
 Every shipped operator is shuffle-true: no single-task reduces, no
 driver-side candidate/edge/label materialization, no full-corpus broadcasts.
 
-- exact dedup: per-block pre-reduce -> content-hash bucket groupby.
+- exact dedup: per-block pre-reduce -> content-hash direct bucket exchange.
 - near-dup pairs: shingle -> minhash (block-vectorized: ONE hash call per
   block + ``np.minimum.reduceat`` per doc) -> (band, band_hash) bucket
   groupby -> candidate pairs -> pair-bucket dedup -> DISTRIBUTED bucketed
@@ -281,8 +281,9 @@ def _w1_split_bands(block: pa.Table, nb: int, shingle: int) -> list[pa.Table]:
     df = _band_rows(block, nb, shingle)
     b = df.pop("bucket").to_numpy()
     cols = {c: df[c].to_numpy() for c in df.columns}
-    return [pa.table({c: pa.array(v[idx]) for c, v in cols.items()})
-            for idx in _bucket_slices(b, nb)]
+    return _scalar_if_one(
+        [pa.table({c: pa.array(v[idx]) for c, v in cols.items()})
+         for idx in _bucket_slices(b, nb)], nb)
 
 
 def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
@@ -293,7 +294,7 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64())})
     if not parts:
-        return [empty] * nb
+        return _scalar_if_one([empty] * nb, nb)
     df = pd.concat(parts, ignore_index=True)
     out_a, out_b = [], []
     for _, g in df.groupby(["band", "band_hash"], sort=False):
@@ -304,15 +305,16 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
         out_a.append(ids[ai])
         out_b.append(ids[bj])
     if not out_a:
-        return [empty] * nb
+        return _scalar_if_one([empty] * nb, nb)
     pairs = (pd.DataFrame({"doc_a": np.concatenate(out_a),
                            "doc_b": np.concatenate(out_b)})
              .drop_duplicates())
     da = pairs["doc_a"].to_numpy()
     db_ = pairs["doc_b"].to_numpy()
     pb = _pair_bucket(da, db_, nb)
-    return [pa.table({"doc_a": pa.array(da[idx]), "doc_b": pa.array(db_[idx])})
-            for idx in _bucket_slices(pb, nb)]
+    return _scalar_if_one(
+        [pa.table({"doc_a": pa.array(da[idx]), "doc_b": pa.array(db_[idx])})
+         for idx in _bucket_slices(pb, nb)], nb)
 
 
 def _w3_dedup_requests(nb: int, pbucket: int, *slices: pa.Table):
@@ -344,11 +346,12 @@ def _w1_split_docs(block: pa.Table, nb: int) -> list[pa.Table]:
     if block.num_rows == 0 or "doc_id" not in block.column_names:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "text": pa.array([], pa.string())})
-        return [empty] * nb
+        return _scalar_if_one([empty] * nb, nb)
     ids = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     b = _doc_bucket(ids, nb)
     sel = block.select(["doc_id", "text"])
-    return [sel.take(pa.array(idx)) for idx in _bucket_slices(b, nb)]
+    return _scalar_if_one(
+        [sel.take(pa.array(idx)) for idx in _bucket_slices(b, nb)], nb)
 
 
 def _w4_attach(nb: int, n_doc_slices: int, *slices: pa.Table) -> list[pa.Table]:
@@ -359,16 +362,17 @@ def _w4_attach(nb: int, n_doc_slices: int, *slices: pa.Table) -> list[pa.Table]:
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "text": pa.array([], pa.string())})
     if not docs or not reqs:
-        return [empty] * nb
+        return _scalar_if_one([empty] * nb, nb)
     dtbl = pa.concat_tables(docs).to_pandas().drop_duplicates("doc_id")
     req = pd.concat(reqs, ignore_index=True).drop_duplicates()
     out = req.merge(dtbl, on="doc_id", how="inner")
     pb = out["pbucket"].to_numpy()
     oid = out["doc_id"].to_numpy().astype(np.int64)
     otxt = out["text"].to_numpy()
-    return [pa.table({"doc_id": pa.array(oid[idx]),
-                      "text": pa.array(otxt[idx].tolist(), pa.string())})
-            for idx in _bucket_slices(pb, nb)]
+    return _scalar_if_one(
+        [pa.table({"doc_id": pa.array(oid[idx]),
+                   "text": pa.array(otxt[idx].tolist(), pa.string())})
+         for idx in _bucket_slices(pb, nb)], nb)
 
 
 def _w5_verify(threshold: float, shingle: int, pairs_tbl: pa.Table,
@@ -523,6 +527,12 @@ _EMPTY_CLUSTERS = pa.schema([("doc_id", pa.int64()),
                              ("cluster_id", pa.int64())])
 
 
+def _scalar_if_one(out: list, nb: int):
+    """num_returns=1 treats the whole return as ONE object: a 1-bucket
+    split must return the single slice itself, not a 1-element list."""
+    return out if nb > 1 else out[0]
+
+
 def _bucket_slices(b: np.ndarray, nb: int):
     """One stable sort -> per-bucket index slices (O(n log n), not O(nb*n)
     boolean masks — nb can be in the hundreds at cluster scale)."""
@@ -535,9 +545,9 @@ def _split_int_tbl(df: pd.DataFrame, key: str, nb: int) -> list[pa.Table]:
     """Partition an all-int64 frame into nb Arrow tables by hash(key)."""
     cols = {c: df[c].to_numpy().astype(np.int64) for c in df.columns}
     b = _doc_bucket(cols[key], nb)
-    return [pa.table({c: pa.array(v[idx], pa.int64())
-                      for c, v in cols.items()})
-            for idx in _bucket_slices(b, nb)]
+    return _scalar_if_one([pa.table({c: pa.array(v[idx], pa.int64())
+                                     for c, v in cols.items()})
+                           for idx in _bucket_slices(b, nb)], nb)
 
 
 def _cc_split_edges(block: pa.Table, nb: int) -> list[pa.Table]:
@@ -611,8 +621,9 @@ def _cc_jump_resolve(labels_k: pa.Table, nb: int,
     map, then route results back to the bucket owning each node."""
     parts = [r.to_pandas() for r in reqs if r.num_rows]
     if not parts:
-        return [pa.table({"node": pa.array([], pa.int64()),
-                          "label": pa.array([], pa.int64())})] * nb
+        return _scalar_if_one(
+            [pa.table({"node": pa.array([], pa.int64()),
+                       "label": pa.array([], pa.int64())})] * nb, nb)
     req = pd.concat(parts, ignore_index=True)
     lut = labels_k.to_pandas().rename(columns={"node": "lnode",
                                                "label": "llabel"})

@@ -27,17 +27,21 @@ import ray
 import ray.data
 
 
-def _split_block(block: pa.Table, col: str, nb: int) -> list[pa.Table]:
+def _split_block(block: pa.Table, col: str, nb: int):
     if block.num_rows == 0 and col not in block.column_names:
         # schema-less empty block from an upstream map_groups: no typed
         # schema to preserve; reduce tasks skip zero-column tables
-        return [pa.table({})] * nb
-    b = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(b, kind="stable")
-    bounds = np.searchsorted(b[order], np.arange(nb + 1))
-    body = block.drop_columns([col])
-    return [body.take(pa.array(order[bounds[j]:bounds[j + 1]]))
-            for j in range(nb)]
+        out = [pa.table({})] * nb
+    else:
+        b = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bounds = np.searchsorted(b[order], np.arange(nb + 1))
+        body = block.drop_columns([col])
+        out = [body.take(pa.array(order[bounds[j]:bounds[j + 1]]))
+               for j in range(nb)]
+    # with num_returns=1 Ray treats the whole return value as the single
+    # output, so a 1-bucket split must return the table itself, not [table]
+    return out if nb > 1 else out[0]
 
 
 def _reduce_bucket(reduce_fn: Callable[[pa.Table], pa.Table],
