@@ -289,19 +289,35 @@ def _w1_split_bands(block: pa.Table, nb: int, shingle: int) -> list[pa.Table]:
 def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     """Wave 2: one band bucket -> its candidate pairs (all pairs within each
     identical (band, band_hash) group), deduped within the task, partitioned
-    by pair bucket."""
+    by pair bucket.
+
+    Run detection is one lexsort; the overwhelmingly common 2-doc runs
+    (realistic corpora have few true near-dups) generate their single pair
+    fully vectorized, and only runs of >= 3 docs — rare outside degenerate
+    corpora — take the per-run triu loop."""
     parts = [s.to_pandas() for s in slices if s.num_rows]
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64())})
     if not parts:
         return _scalar_if_one([empty] * nb, nb)
     df = pd.concat(parts, ignore_index=True)
+    band = df["band"].to_numpy().astype(np.int64)
+    bh = df["band_hash"].to_numpy().astype(np.int64)
+    doc = df["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    new_run = np.ones(len(doc), dtype=bool)
+    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new_run)
+    lens = np.diff(np.append(starts, len(doc)))
     out_a, out_b = [], []
-    for _, g in df.groupby(["band", "band_hash"], sort=False):
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            continue
-        ai, bj = np.triu_indices(len(ids), k=1)
+    two = starts[lens == 2]
+    if len(two):
+        out_a.append(doc[two])
+        out_b.append(doc[two + 1])
+    for s0, ln in zip(starts[lens >= 3], lens[lens >= 3]):
+        ids = doc[s0:s0 + ln]  # sorted, unique (one row per doc per band)
+        ai, bj = np.triu_indices(ln, k=1)
         out_a.append(ids[ai])
         out_b.append(ids[bj])
     if not out_a:
