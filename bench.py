@@ -132,13 +132,23 @@ def run_bench() -> dict:
         t_apply = ta if t_apply is None else min(t_apply, ta)
         shutil.rmtree(table_dir, ignore_errors=True)
 
+    # best-of-N per query: single observations carry multi-second ambient
+    # noise in this sandbox (see BASELINE.md); a long first run (>15 s) is
+    # not re-run to bound total bench wall time
+    qreps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     qtimes = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        res = QUERIES[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(qreps):
+            t0 = time.perf_counter()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+            if el > 15.0:
+                break
+        qtimes[name] = round(best, 3)
 
     out = {
         "metric": "cdc_wal_replay",

@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             "conflicts": m.total("conflict_count"),
             "replay_skipped": m.total("replay_skipped"),
             "sources": m.sources,  # multi-source composite savepoints
+            "source_namespaces": m.source_namespaces,
             "recent_batches": m.batch_history[-5:],
         }))
         return 0
