@@ -361,3 +361,40 @@ def test_pinned_namespaces_survive_compact_and_reshard(workdir):
                   num_partitions=P * 2, events_per_batch=10**9)
     m4 = job2.apply_wal()
     assert m4.source_namespaces == pinned
+
+
+def test_multi_source_with_schema_evolution(workdir):
+    """One source still emits v1 segments (no `tool` column) while the other
+    emits v2: the unified committed schema must carry `tool` with null
+    backfill for v1 rows, and the final table must equal the oracle replay
+    of the namespaced union of the WALs AS WRITTEN (v1 rows tool-null)."""
+    from cwds_jobs_ray.synth import load_wal
+
+    spec_a = WalSpec(seed=61, n_convs=8, turns_per_conv=3, n_events=60,
+                     n_segments=3, schema_v1_segments=2,
+                     out_of_order_frac=0.2, dup_redelivery_frac=0.1)
+    spec_b = WalSpec(seed=62, n_convs=8, turns_per_conv=3, n_events=40,
+                     n_segments=2)
+    base = make_base(WalSpec(seed=60, n_convs=8, turns_per_conv=3))
+    base_path = os.path.join(workdir, "base.parquet")
+    pq.write_table(base, base_path)
+    write_wal_segments(make_wal(spec_a), os.path.join(workdir, "wal_a"),
+                       spec_a.n_segments, spec_a.schema_v1_segments)
+    write_wal_segments(make_wal(spec_b), os.path.join(workdir, "wal_b"),
+                       spec_b.n_segments)
+    wal_a = load_wal(os.path.join(workdir, "wal_a"))  # as written: v1 nulls
+    wal_b = load_wal(os.path.join(workdir, "wal_b"))
+    wal_a = wal_a.select(wal_b.column_names)  # align order for the union
+
+    job = CDCJob(os.path.join(workdir, "table"),
+                 {"a": os.path.join(workdir, "wal_a"),
+                  "b": os.path.join(workdir, "wal_b")},
+                 num_partitions=P, events_per_batch=30)
+    m = job.run(base_path=base_path)
+
+    o = replay(base, _oracle_union(wal_a, wal_b), P)
+    got = job.read_table_arrow()
+    assert "tool" in got.column_names
+    assert got.select(o.final.column_names).equals(o.final)
+    assert m.total("rows_applied") == o.rows_applied
+    assert m.total("conflict_count") == o.conflict_count
