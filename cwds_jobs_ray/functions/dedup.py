@@ -243,6 +243,22 @@ _PERMS = _perm_params()
 _EMPTY_PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                           ("jaccard", pa.float64())])
 
+def _unique_pairs(a: np.ndarray, b: np.ndarray):
+    """Deduplicate (a, b) int pairs. Fast path: pack both ids into one int64
+    and np.unique it (C-speed sort) — several times faster than a pandas
+    hash drop_duplicates on multi-million-pair inputs; falls back to pandas
+    when ids don't fit 31 bits."""
+    if len(a) == 0:
+        return a, b
+    if (0 <= a.min() and 0 <= b.min()
+            and max(int(a.max()), int(b.max())) < (1 << 31)):
+        key = (a.astype(np.int64) << np.int64(31)) | b.astype(np.int64)
+        uniq = np.unique(key)
+        return (uniq >> np.int64(31)), (uniq & np.int64((1 << 31) - 1))
+    df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+    return df["a"].to_numpy(), df["b"].to_numpy()
+
+
 DOCS_PER_BUCKET = 20_000  # verify-join bucket sizing: texts per reduce task
 
 _ROWS_PER_BAND = N_PERM // N_BANDS
@@ -322,11 +338,7 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
         out_b.append(ids[bj])
     if not out_a:
         return _scalar_if_one([empty] * nb, nb)
-    pairs = (pd.DataFrame({"doc_a": np.concatenate(out_a),
-                           "doc_b": np.concatenate(out_b)})
-             .drop_duplicates())
-    da = pairs["doc_a"].to_numpy()
-    db_ = pairs["doc_b"].to_numpy()
+    da, db_ = _unique_pairs(np.concatenate(out_a), np.concatenate(out_b))
     pb = _pair_bucket(da, db_, nb)
     return _scalar_if_one(
         [pa.table({"doc_a": pa.array(da[idx]), "doc_b": pa.array(db_[idx])})
@@ -343,12 +355,11 @@ def _w3_dedup_requests(nb: int, pbucket: int, *slices: pa.Table):
         return tuple([pa.table({"doc_a": pa.array([], pa.int64()),
                                 "doc_b": pa.array([], pa.int64())})]
                      + [empty_req] * nb)
-    pairs = pd.concat(parts, ignore_index=True).drop_duplicates(
-        ["doc_a", "doc_b"])
-    ptbl = pa.table({"doc_a": pa.array(pairs["doc_a"].to_numpy()),
-                     "doc_b": pa.array(pairs["doc_b"].to_numpy())})
-    docs = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
-                                     pairs["doc_b"].to_numpy()]))
+    cat = pd.concat(parts, ignore_index=True)
+    pa_, pb_ = _unique_pairs(cat["doc_a"].to_numpy(), cat["doc_b"].to_numpy())
+    ptbl = pa.table({"doc_a": pa.array(pa_, pa.int64()),
+                     "doc_b": pa.array(pb_, pa.int64())})
+    docs = np.unique(np.concatenate([pa_, pb_]))
     db = _doc_bucket(docs, nb)
     reqs = [pa.table({
         "doc_id": pa.array(docs[idx], pa.int64()),
