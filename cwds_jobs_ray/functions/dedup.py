@@ -55,14 +55,23 @@ def default_n_buckets() -> int:
     return max(64, 4 * cpus)
 
 
+WAVE_MAX_RETURNS = 256  # per-task num_returns ceiling for wave exchanges
+
+
 def sized_n_buckets(n_rows: int, rows_per_bucket: int = 200_000,
                     lo: int = 8) -> int:
     """Bucket count derived from BOTH terms the scaling story needs: data
     size (one reduce bucket per ~rows_per_bucket input rows, so per-bucket
     state stays bounded as data grows) capped by cluster size
     (``default_n_buckets`` — more buckets than task slots just multiplies
-    scheduling/exchange overhead, which dominates on small inputs)."""
-    return int(min(default_n_buckets(),
+    scheduling/exchange overhead, which dominates on small inputs).
+
+    Also capped at ``WAVE_MAX_RETURNS``: per-task return counts in the
+    thousands stress object-store metadata (the CDC shuffle measured this;
+    stages/merge.py bounds it the same way with partition-GROUP slices —
+    adopt that grouping here if a deployment ever needs more buckets than
+    the cap)."""
+    return int(min(default_n_buckets(), WAVE_MAX_RETURNS,
                    max(lo, -(-n_rows // rows_per_bucket))))
 
 
