@@ -231,6 +231,22 @@ def _golden_oracle_sqls() -> dict[str, str]:
         regs[idx] = max(regs[idx], rank)
     hll_est = estimate_from_registers(np.asarray(regs, dtype=np.uint8))
 
+    # -- SimHash near-dup pairs: naive all-pairs Hamming over the naive
+    # simhash values computed above (independent of the engine's banding) --
+    from cwds_jobs_ray.functions.text import SIMHASH_MAX_HAMMING
+
+    sim_u64 = [(i, int(np.uint64(v))) for i, v in sim_rows]
+    sp_rows = []
+    for x in range(len(sim_u64)):
+        ix, sx = sim_u64[x]
+        for y in range(x + 1, len(sim_u64)):
+            iy, sy = sim_u64[y]
+            d = bin(sx ^ sy).count("1")
+            if d <= SIMHASH_MAX_HAMMING:
+                a, b = (ix, iy) if ix < iy else (iy, ix)
+                sp_rows.append((a, b, d))
+    sp_rows.sort()
+
     # -- ANN approximate indexes: naive per-vector loops over the SAME
     # pinned planes/centroids the engine uses (the parameters are shared
     # constants, like BPE_PATTERN above; the evaluation is independent) --
@@ -299,6 +315,8 @@ def _golden_oracle_sqls() -> dict[str, str]:
         "rolling_hash_fingerprints": values_sql(
             winnow_rows, ["doc_id", "n_fingerprints", "min_fingerprint"]),
         "simhash_fingerprint": values_sql(sim_rows, ["doc_id", "simhash"]),
+        "simhash_neardup_pairs": values_sql(
+            sp_rows, ["doc_a", "doc_b", "hamming"]),
         "approx_distinct_users": values_sql([(hll_est,)],
                                             ["approx_distinct"]),
         "ann_lsh_topk": values_sql(topk_rows(lsh_cand),

@@ -258,3 +258,31 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         "doc_id": batch["doc_id"],
         "simhash": pa.array(out.view(np.int64)),
     })
+
+
+# ------------------------------------------- SimHash near-dup candidates
+
+SIMHASH_BANDS = 4          # 16 bits per band: Hamming<=3 => >=1 equal band
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """SimHash -> (band, key, doc_id, simhash) rows (4 per doc): two docs
+    within Hamming distance 3 of each other must agree on at least one
+    16-bit band (pigeonhole — the classic Manku/Jain/Sarma web-dedup
+    banding), so equal (band, key) groups are a complete candidate cover."""
+    sims = simhash_batch(batch)
+    h = sims["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(h)
+    bands = np.arange(SIMHASH_BANDS, dtype=np.int64)
+    key = np.empty((SIMHASH_BANDS, n), dtype=np.int64)
+    for b_ in range(SIMHASH_BANDS):
+        key[b_] = ((h >> np.uint64(16 * b_)) & np.uint64(0xFFFF)) \
+            .astype(np.int64)
+    return pa.table({
+        "band": pa.array(np.repeat(bands, n)),
+        "key": pa.array(key.reshape(-1)),
+        "doc_id": pa.array(np.tile(
+            sims["doc_id"].to_numpy(zero_copy_only=False), SIMHASH_BANDS)),
+        "simhash": pa.array(np.tile(h.view(np.int64), SIMHASH_BANDS)),
+    })

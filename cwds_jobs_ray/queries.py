@@ -1054,6 +1054,84 @@ def events_hopping_window(sf_dir: str):
     return _tree_agg(ds, explode, final, bucket_on="user_id")
 
 
+def simhash_neardup_pairs(sf_dir: str):
+    """SimHash near-duplicate PAIRS (the Manku/Jain/Sarma web-dedup shape):
+    64-bit SimHash -> 4x16-bit bands (pigeonhole: Hamming <= 3 implies at
+    least one equal band) -> equal-band groups generate candidates with the
+    exact Hamming distance computed in-group (each band row carries the full
+    64-bit signature — one int, so no join back to the docs is ever needed)
+    -> cross-band dedup by packed-int unique. Two direct bucket exchanges,
+    int rows only. Oracle: golden VALUES from a naive all-pairs evaluator
+    over the independently computed simhash values."""
+    import pyarrow.parquet as pq
+    from .functions.ann import _popcount64
+    from .functions.dedup import (_doc_bucket, _pair_bucket, sized_n_buckets)
+    from .functions.text import (SIMHASH_MAX_HAMMING, simhash_band_rows)
+    from .stages.waves import wave_group_reduce
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = sized_n_buckets(n_docs, rows_per_bucket=20_000)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_gbucket(t: pa.Table) -> pa.Table:
+        gk = (t["band"].to_numpy(zero_copy_only=False) * 65536
+              + t["key"].to_numpy(zero_copy_only=False))
+        return t.append_column("_gb", pa.array(_doc_bucket(gk, nb)))
+
+    def pairs_in_groups(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        sim = t["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key, band))
+        band, key, doc, sim = band[order], key[order], doc[order], sim[order]
+        new_run = np.ones(len(doc), dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(doc)))
+        a_i, b_i = [], []
+        two = starts[lens == 2]
+        if len(two):
+            a_i.append(two)
+            b_i.append(two + 1)
+        for s0, ln in zip(starts[lens >= 3], lens[lens >= 3]):
+            ai, bj = np.triu_indices(ln, k=1)
+            a_i.append(s0 + ai)
+            b_i.append(s0 + bj)
+        if not a_i:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int64())})
+        ia = np.concatenate(a_i)
+        ib = np.concatenate(b_i)
+        ham = _popcount64(sim[ia].view(np.uint64) ^ sim[ib].view(np.uint64))
+        keep = ham <= SIMHASH_MAX_HAMMING
+        a, b, ham = doc[ia[keep]], doc[ib[keep]], ham[keep]
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                         "hamming": pa.array(ham, pa.int64()),
+                         "pbucket": pa.array(_pair_bucket(a, b, nb))})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        ham = t["hamming"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return t
+        packed = (a.astype(np.int64) << np.int64(31)) | b.astype(np.int64)
+        _u, idx = np.unique(packed, return_index=True)
+        return pa.table({"doc_a": pa.array(a[idx]),
+                         "doc_b": pa.array(b[idx]),
+                         "hamming": pa.array(ham[idx], pa.int64())})
+
+    rows = ds.map_batches(simhash_band_rows, batch_format="pyarrow",
+                          batch_size=4096)
+    cands = wave_group_reduce(rows.map_batches(add_gbucket,
+                                               batch_format="pyarrow"),
+                              "_gb", nb, pairs_in_groups)
+    return wave_group_reduce(cands, "pbucket", nb, dedup)
+
+
 TOP_NGRAMS_K = 20
 STRAT_RATE = {"en": 30}  # percent kept per lang; default below
 STRAT_DEFAULT_RATE = 60
@@ -1237,6 +1315,7 @@ QUERIES = {
     "sample_by_token_budget": sample_by_token_budget,
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
 }
 
 
