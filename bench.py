@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "simhash_fingerprint",
     "top_ngrams",
+    "simhash_neardup_pairs",
 ]
 
 
