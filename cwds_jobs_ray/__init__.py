@@ -18,19 +18,29 @@ derives only the *semantics* (watermarks, I/U/D application, initial-vs-
 incremental modes, crash resume, atomic publish) from it.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+# lazy public API (keeps bare import Ray-free)
+_API = {
+    "CDCJob": ("pipelines.cdc", "CDCJob"),
+    "promote_to_incremental": ("pipelines.cdc", "promote_to_incremental"),
+    "make_export_finalizer": ("pipelines.cdc", "make_export_finalizer"),
+    "Manifest": ("state.manifest", "Manifest"),
+    "load_config": ("config", "load_config"),
+    "wave_group_reduce": ("stages.waves", "wave_group_reduce"),
+    "read_paged": ("sources.paged", "read_paged"),
+    "read_paged_http": ("sources.paged", "read_paged_http"),
+    "HttpPagedSource": ("sources.paged", "HttpPagedSource"),
+    "basic_auth": ("sources.paged", "basic_auth"),
+}
 
 
-def __getattr__(name):  # lazy public API (keeps bare import Ray-free)
-    if name == "CDCJob":
-        from .pipelines.cdc import CDCJob
-        return CDCJob
-    if name == "Manifest":
-        from .state.manifest import Manifest
-        return Manifest
-    if name == "load_config":
-        from .config import load_config
-        return load_config
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
     raise AttributeError(name)
 
 # Ray provides the parallelism (one task per core); nested thread pools
