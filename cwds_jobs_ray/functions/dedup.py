@@ -38,12 +38,17 @@ import ray.data
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+WAVE_MAX_RETURNS = 256  # per-task num_returns ceiling for wave exchanges
+
 
 def default_n_buckets() -> int:
     """Coarse shuffle-bucket count for keyed finals: 4x cluster CPUs with a
     floor of 64 (so small-machine tests still exercise multi-bucket paths),
-    overridable via CWDS_N_BUCKETS. Bucket count never affects results —
-    only reduce parallelism and per-bucket memory."""
+    overridable via CWDS_N_BUCKETS, and capped at ``WAVE_MAX_RETURNS`` so a
+    wide cluster (256 CPUs -> 4x = 1024) never drives per-task num_returns
+    past the object-store-metadata ceiling every wave path is documented to
+    honor. Bucket count never affects results — only reduce parallelism and
+    per-bucket memory."""
     env = os.environ.get("CWDS_N_BUCKETS")
     if env:
         return max(1, int(env))
@@ -52,10 +57,7 @@ def default_n_buckets() -> int:
             if ray.is_initialized() else 16
     except Exception:  # noqa: BLE001 — sizing heuristic only
         cpus = 16
-    return max(64, 4 * cpus)
-
-
-WAVE_MAX_RETURNS = 256  # per-task num_returns ceiling for wave exchanges
+    return min(WAVE_MAX_RETURNS, max(64, 4 * cpus))
 
 
 def sized_n_buckets(n_rows: int, rows_per_bucket: int = 200_000,
@@ -592,7 +594,7 @@ def _cc_split_edges(block: pa.Table, nb: int) -> list[pa.Table]:
         # empty upstream map_groups blocks can arrive schema-less
         empty = pa.table({"src": pa.array([], pa.int64()),
                           "dst": pa.array([], pa.int64())})
-        return [empty] * nb
+        return _scalar_if_one([empty] * nb, nb)
     a = block["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     b = block["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
     df = pd.DataFrame({"src": np.concatenate([a, b]),
@@ -637,9 +639,12 @@ def _cc_reduce(labels_j: pa.Table, *slices: pa.Table):
     cand = (pd.concat(parts, ignore_index=True)
             .groupby("node", sort=False)["label"].min().reset_index())
     out = old.merge(cand, on="node", how="left")
+    # fillna with the node's OWN old label, not INT64_MAX: 2^63-1 is not
+    # float64-representable, so an int64 cast of that fill would be
+    # out-of-range (wraps negative) and silently corrupt cluster labels
     out["label"] = np.minimum(
         out["old"].to_numpy(),
-        out["label"].fillna(np.iinfo(np.int64).max).astype("int64").to_numpy())
+        out["label"].fillna(out["old"]).astype("int64").to_numpy())
     changed = int((out["label"] < out["old"]).sum())
     return pa.table({"node": pa.array(out["node"].to_numpy(), pa.int64()),
                      "label": pa.array(out["label"].to_numpy(), pa.int64())

@@ -360,7 +360,7 @@ class CDCJob:
                       on_before_commit) -> Manifest:
         """Drain one change source's WAL (its own savepoint + watermarks —
         the composite-savepoint model)."""
-        segments = list_segments(wal_dir, source, lsn_namespace)
+        segments = list_segments(wal_dir, source, lsn_namespace, multi=multi)
         applied, last_seen = self._source_state(manifest, source, multi)
         batches = plan_batches(segments, applied, self.events_per_batch)
         # whole segments below the watermark are skipped by footer planning

@@ -1118,8 +1118,15 @@ def simhash_neardup_pairs(sf_dir: str):
         ham = t["hamming"].to_numpy(zero_copy_only=False)
         if len(a) == 0:
             return t
-        packed = (a.astype(np.int64) << np.int64(31)) | b.astype(np.int64)
-        _u, idx = np.unique(packed, return_index=True)
+        # same range guard as dedup._unique_pairs: the (a<<31)|b pack is
+        # only collision-free for non-negative ids below 2^31
+        if (0 <= a.min() and 0 <= b.min()
+                and max(int(a.max()), int(b.max())) < (1 << 31)):
+            packed = (a.astype(np.int64) << np.int64(31)) | b.astype(np.int64)
+            _u, idx = np.unique(packed, return_index=True)
+        else:
+            idx = (pd.DataFrame({"a": a, "b": b})
+                   .drop_duplicates().index.to_numpy())
         return pa.table({"doc_a": pa.array(a[idx]),
                          "doc_b": pa.array(b[idx]),
                          "hamming": pa.array(ham[idx], pa.int64())})

@@ -41,7 +41,8 @@ class SegmentInfo:
 
 
 def list_segments(wal_dir: str, source: str = "default",
-                  lsn_namespace: int = 0) -> list[SegmentInfo]:
+                  lsn_namespace: int = 0,
+                  multi: bool = False) -> list[SegmentInfo]:
     """Driver-side metadata scan (footers only) of all WAL segments.
 
     ``lsn_namespace`` supports multi-source CDC (the reference's composite
@@ -75,7 +76,7 @@ def list_segments(wal_dir: str, source: str = "default",
             col = f.read(columns=["lsn"])["lsn"]
             import pyarrow.compute as _pc
             mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
-        if lsn_namespace and int(mx) >= (1 << 48):
+        if (multi or lsn_namespace) and int(mx) >= (1 << 48):
             raise ValueError(
                 f"segment {path}: raw lsn {mx} does not fit below the "
                 "multi-source namespace shift (2^48) — namespaced ranges "

@@ -433,3 +433,40 @@ def test_verified_pairs_block_structure_invariant():
          .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_cc_reduce_keeps_old_label_when_no_proposal():
+    """A node with no incoming proposal must keep its own label unchanged —
+    the fill must NOT route through float64(INT64_MAX), whose int64 cast is
+    out-of-range and wraps negative (silent cluster corruption)."""
+    from cwds_jobs_ray.functions.dedup import _cc_reduce
+    labels = pa.table({"node": pa.array([5, 7], pa.int64()),
+                       "label": pa.array([5, 7], pa.int64())})
+    prop = pa.table({"node": pa.array([5], pa.int64()),
+                     "label": pa.array([2], pa.int64())})
+    new, changed = _cc_reduce(labels, prop)
+    got = dict(zip(new["node"].to_pylist(), new["label"].to_pylist()))
+    assert got == {5: 2, 7: 7}
+    assert changed == 1
+    assert all(v >= 0 for v in got.values())
+
+
+def test_cc_split_edges_empty_block_single_bucket():
+    """nb=1 split of a schema-less empty block must return the slice itself
+    (num_returns=1 semantics), not a 1-element list."""
+    from cwds_jobs_ray.functions.dedup import _cc_split_edges
+    out = _cc_split_edges(pa.table({}), 1)
+    assert isinstance(out, pa.Table)
+    assert out.num_rows == 0
+    many = _cc_split_edges(pa.table({}), 4)
+    assert isinstance(many, list) and len(many) == 4
+
+
+def test_default_n_buckets_honors_wave_returns_cap(monkeypatch):
+    """A wide cluster (e.g. 256 CPUs -> 4x = 1024) must not push per-task
+    num_returns past WAVE_MAX_RETURNS on the default_n_buckets paths."""
+    from cwds_jobs_ray.functions import dedup as dd
+    monkeypatch.delenv("CWDS_N_BUCKETS", raising=False)
+    monkeypatch.setattr(dd.ray, "cluster_resources",
+                        lambda: {"CPU": 256.0})
+    assert dd.default_n_buckets() == dd.WAVE_MAX_RETURNS

@@ -334,7 +334,11 @@ def test_raw_lsn_must_fit_below_namespace_shift(workdir):
     pq.write_table(big, os.path.join(d, "seg-000.parquet"))
     with pytest.raises(ValueError, match="does not fit below"):
         list_segments(d, "a", NS)
-    assert list_segments(d, "default", 0)  # un-namespaced: allowed
+    # source #0 of a MULTI-source table has namespace 0 but its raw lsns
+    # still must not reach into source #1's range
+    with pytest.raises(ValueError, match="does not fit below"):
+        list_segments(d, "a", 0, multi=True)
+    assert list_segments(d, "default", 0)  # single-source: allowed
 
 
 def test_pinned_namespaces_survive_compact_and_reshard(workdir):
