@@ -313,6 +313,38 @@ def _w1_split_bands(block: pa.Table, nb: int, shingle: int) -> list[pa.Table]:
          for idx in _bucket_slices(b, nb)], nb)
 
 
+# Per-task candidate-pair ceiling for one band bucket (env override
+# CWDS_LSH_RUN_CAP). With shingle-set collapse upstream, runs contain only
+# DISTINCT shingle sets, so hitting this means the corpus is pathologically
+# self-similar at the chosen granularity — the guard turns a silent
+# memory blowup into an actionable error (raise shingle/threshold, or use
+# neardup_components which never expands within-group pairs).
+_RUN_PAIR_CAP = int(os.environ.get("CWDS_LSH_RUN_CAP", 50_000_000))
+
+# temporaries bound for big-run pair generation: triu_indices(ln) allocates
+# ln^2 index pairs at once; chunking by source row keeps each temporary to
+# <= _RUN_CHUNK * ln entries while producing the identical pair stream
+_RUN_CHUNK = 4096
+
+
+def _run_pairs(ids: np.ndarray, out_a: list, out_b: list) -> None:
+    """All ordered pairs (i<j) of one band run, chunked by source row."""
+    ln = len(ids)
+    if ln <= _RUN_CHUNK:
+        ai, bj = np.triu_indices(ln, k=1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bj])
+        return
+    for i0 in range(0, ln - 1, _RUN_CHUNK):
+        ii = np.arange(i0, min(i0 + _RUN_CHUNK, ln - 1))
+        cnt = ln - 1 - ii
+        ai = np.repeat(ii, cnt)
+        bj = (np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+              + ai + 1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bj])
+
+
 def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     """Wave 2: one band bucket -> its candidate pairs (all pairs within each
     identical (band, band_hash) group), deduped within the task, partitioned
@@ -321,7 +353,8 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     Run detection is one lexsort; the overwhelmingly common 2-doc runs
     (realistic corpora have few true near-dups) generate their single pair
     fully vectorized, and only runs of >= 3 docs — rare outside degenerate
-    corpora — take the per-run triu loop."""
+    corpora — take the per-run chunked loop. Total pair volume for the task
+    is capped at ``_RUN_PAIR_CAP`` (see above)."""
     parts = [s.to_pandas() for s in slices if s.num_rows]
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64())})
@@ -337,16 +370,22 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
     starts = np.flatnonzero(new_run)
     lens = np.diff(np.append(starts, len(doc)))
+    total = int((lens.astype(np.int64) * (lens - 1) // 2).sum())
+    if total > _RUN_PAIR_CAP:
+        raise RuntimeError(
+            f"LSH band bucket would generate {total} candidate pairs "
+            f"(cap {_RUN_PAIR_CAP}, env CWDS_LSH_RUN_CAP): the corpus is "
+            "pathologically self-similar at this shingle size. Raise "
+            "shingle/threshold, or use neardup_components for clustering "
+            "(it never expands within-group pairs).")
     out_a, out_b = [], []
     two = starts[lens == 2]
     if len(two):
         out_a.append(doc[two])
         out_b.append(doc[two + 1])
     for s0, ln in zip(starts[lens >= 3], lens[lens >= 3]):
-        ids = doc[s0:s0 + ln]  # sorted, unique (one row per doc per band)
-        ai, bj = np.triu_indices(ln, k=1)
-        out_a.append(ids[ai])
-        out_b.append(ids[bj])
+        # ids sorted, unique (one row per doc per band)
+        _run_pairs(doc[s0:s0 + ln], out_a, out_b)
     if not out_a:
         return _scalar_if_one([empty] * nb, nb)
     da, db_ = _unique_pairs(np.concatenate(out_a), np.concatenate(out_b))
@@ -415,8 +454,13 @@ def _w4_attach(nb: int, n_doc_slices: int, *slices: pa.Table) -> list[pa.Table]:
 
 def _w5_verify(threshold: float, shingle: int, pairs_tbl: pa.Table,
                *text_slices: pa.Table) -> pa.Table:
-    """Wave 5: one pair bucket: local shingle matrix over ITS candidate docs
-    only, exact integer-intersection Jaccard for its pairs in one einsum."""
+    """Wave 5: one pair bucket: exact shingle-SET Jaccard for its pairs over
+    a local packed-BITSET matrix (docs x ceil(vocab/64) uint64 words) —
+    intersections are bitwise-and + SWAR popcount, 16x less memory traffic
+    and several times faster than the float32 einsum it replaces, with
+    identical integer-exact results."""
+    from .ann import _popcount64
+
     if pairs_tbl.num_rows == 0:
         return _EMPTY_PAIRS.empty_table()
     texts = [s for s in text_slices if s.num_rows]
@@ -425,25 +469,31 @@ def _w5_verify(threshold: float, shingle: int, pairs_tbl: pa.Table,
     ids_s = docs["doc_id"].to_numpy().astype(np.int64)
     vocab: dict[str, int] = {}
     srows, scols = [], []
+    sz = np.zeros(len(ids_s), dtype=np.int64)
     for r, tx in enumerate(docs["text"].tolist()):
-        for sh in set(_shingles(tx, shingle)):
+        sh_set = set(_shingles(tx, shingle))
+        sz[r] = len(sh_set)
+        for sh in sh_set:
             scols.append(vocab.setdefault(sh, len(vocab)))
             srows.append(r)
-    m = np.zeros((len(ids_s), len(vocab)), dtype=np.float32)
-    m[srows, scols] = 1.0
-    sz = m.sum(axis=1).astype(np.int64)
+    nwords = max(1, -(-len(vocab) // 64))
+    m = np.zeros((len(ids_s), nwords), dtype=np.uint64)
+    sr = np.asarray(srows, dtype=np.int64)
+    sc = np.asarray(scols, dtype=np.int64)
+    np.bitwise_or.at(m, (sr, sc >> 6),
+                     np.uint64(1) << (sc & 63).astype(np.uint64))
     a = pairs_tbl["doc_a"].to_numpy(zero_copy_only=False)
     b = pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)
     ia = np.searchsorted(ids_s, a)
     ib = np.searchsorted(ids_s, b)
-    # chunk the einsum: m[ia] materializes a (chunk x vocab) temporary, so
+    # chunk the sweep: m[ia] materializes a (chunk x nwords) temporary, so
     # the chunk bound — not the bucket's pair count — caps peak memory (a
     # degenerate corpus can put millions of pairs in one bucket)
     CH = 65_536
     jac = np.empty(len(a), dtype=np.float64)
     for s in range(0, len(a), CH):
         e = s + CH
-        inter = np.einsum("ij,ij->i", m[ia[s:e]], m[ib[s:e]]).astype(np.int64)
+        inter = _popcount64(m[ia[s:e]] & m[ib[s:e]]).sum(axis=1)
         jac[s:e] = inter / (sz[ia[s:e]] + sz[ib[s:e]] - inter)
     keep = jac >= threshold
     order = np.lexsort((b[keep], a[keep]))
@@ -454,6 +504,261 @@ def _w5_verify(threshold: float, shingle: int, pairs_tbl: pa.Table,
 
 def _norm(refs, nb):
     return [[r] for r in refs] if nb == 1 else refs
+
+
+# ------------- shingle-set collapse (the mega-duplicate guard) ----------
+# Docs with EQUAL shingle sets are indistinguishable to MinHash and to
+# set-Jaccard: identical signatures, identical similarity to every other
+# doc. Grouping them FIRST (exact string match on the canonical sorted
+# shingle set — subsumes exact-text dedup) means a mega-duplicate cluster
+# enters the band waves as one representative row instead of k rows that
+# would generate O(k^2) candidate pairs inside a single band task.
+# Three waves, all bounded: heads are one row per distinct set per block;
+# a local rep's members all come from one block (<= block size); a group's
+# global membership lands in hash(rep)'s bucket as int rows.
+
+def _g1_split_groups(block: pa.Table, nb: int, shingle: int):
+    """Collapse wave 1 (per corpus block): group the block's docs by
+    canonical shingle-set key (local rep = min doc_id per key). Returns nb
+    HEAD slices (key, rep's text, local_rep) routed by hash(key), then nb
+    MEMBER slices (doc_id, local_rep) routed by hash(local_rep)."""
+    from ..stages.partition import hash_strings
+
+    empty_h = pa.table({"key": pa.array([], pa.string()),
+                        "text": pa.array([], pa.string()),
+                        "local_rep": pa.array([], pa.int64())})
+    empty_m = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "local_rep": pa.array([], pa.int64())})
+    if block.num_rows == 0 or "doc_id" not in block.column_names:
+        return [empty_h] * nb + [empty_m] * nb
+    ids = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = block["text"].to_pylist()
+    keys = ["\x1f".join(sorted(set(_shingles(t, shingle)))) for t in texts]
+    df = pd.DataFrame({"doc_id": ids, "key": keys, "text": texts})
+    loc = df.groupby("key", sort=False)["doc_id"].transform("min").to_numpy()
+    is_head = ids == loc
+    heads = pa.table({"key": pa.array(df["key"][is_head].tolist(),
+                                      pa.string()),
+                      "text": pa.array(df["text"][is_head].tolist(),
+                                       pa.string()),
+                      "local_rep": pa.array(ids[is_head])})
+    hb = (hash_strings(heads["key"].combine_chunks())
+          % np.uint64(nb)).astype(np.int64)
+    members = pa.table({"doc_id": pa.array(ids[~is_head]),
+                        "local_rep": pa.array(loc[~is_head])})
+    mb = _doc_bucket(loc[~is_head], nb)
+    return ([heads.take(pa.array(i)) for i in _bucket_slices(hb, nb)]
+            + [members.take(pa.array(i)) for i in _bucket_slices(mb, nb)])
+
+
+def _g2_resolve_groups(nb: int, *head_slices: pa.Table):
+    """Collapse wave 2 (per key bucket): exact-key groupby across blocks ->
+    global rep = min(local_rep). Returns (reps table (doc_id, text) for this
+    bucket's keys, then nb mapping slices (local_rep, rep_id) routed by
+    hash(local_rep))."""
+    parts = [s.to_pandas() for s in head_slices if s.num_rows]
+    empty_map = pa.table({"local_rep": pa.array([], pa.int64()),
+                          "rep_id": pa.array([], pa.int64())})
+    if not parts:
+        return tuple([pa.table({"doc_id": pa.array([], pa.int64()),
+                                "text": pa.array([], pa.string())})]
+                     + [empty_map] * nb)
+    df = pd.concat(parts, ignore_index=True)
+    rep = df.groupby("key", sort=False)["local_rep"].transform("min")
+    lr = df["local_rep"].to_numpy()
+    rep_np = rep.to_numpy()
+    winners = lr == rep_np
+    reps = pa.table({"doc_id": pa.array(lr[winners]),
+                     "text": pa.array(df["text"][winners].tolist(),
+                                      pa.string())})
+    mapping = pa.table({"local_rep": pa.array(lr),
+                        "rep_id": pa.array(rep_np)})
+    mb = _doc_bucket(lr, nb)
+    return tuple([reps] + [mapping.take(pa.array(i))
+                           for i in _bucket_slices(mb, nb)])
+
+
+def _g3_route_members(nb: int, n_blocks: int, *slices: pa.Table):
+    """Collapse wave 3 (per local_rep bucket): members learn their GLOBAL
+    rep by joining on local_rep; local reps that lost to another block's
+    rep become members themselves. Returns nb membership slices
+    (rep_id, doc_id) routed by hash(rep_id)."""
+    empty = pa.table({"rep_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    mem = [s.to_pandas() for s in slices[:n_blocks] if s.num_rows]
+    mp = [s.to_pandas() for s in slices[n_blocks:] if s.num_rows]
+    if not mp:
+        return _scalar_if_one([empty] * nb, nb)
+    mapping = pd.concat(mp, ignore_index=True)
+    out_parts = []
+    if mem:
+        # every member's local_rep was emitted as a head by its own block,
+        # so the mapping join always hits
+        m = pd.concat(mem, ignore_index=True).merge(mapping, on="local_rep",
+                                                    how="inner")
+        out_parts.append(pd.DataFrame({"rep_id": m["rep_id"].to_numpy(),
+                                       "doc_id": m["doc_id"].to_numpy()}))
+    lost = mapping.loc[mapping["local_rep"] != mapping["rep_id"]]
+    if len(lost):
+        out_parts.append(pd.DataFrame(
+            {"rep_id": lost["rep_id"].to_numpy(),
+             "doc_id": lost["local_rep"].to_numpy()}))
+    if not out_parts:
+        return _scalar_if_one([empty] * nb, nb)
+    out = pd.concat(out_parts, ignore_index=True)
+    rb = _doc_bucket(out["rep_id"].to_numpy().astype(np.int64), nb)
+    t = pa.table({"rep_id": pa.array(out["rep_id"].to_numpy(), pa.int64()),
+                  "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
+    return _scalar_if_one([t.take(pa.array(i))
+                           for i in _bucket_slices(rb, nb)], nb)
+
+
+def _g4_membership(*slices: pa.Table) -> pa.Table:
+    parts = [s for s in slices if s.num_rows]
+    return pa.concat_tables(parts) if parts else pa.table(
+        {"rep_id": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64())})
+
+
+def _collapse_waves(blocks: list, nb: int, shingle: int):
+    """Returns (reps_refs, membership_refs): reps = one (doc_id, text) row
+    per distinct shingle set (min doc_id wins; any member's text is
+    equivalent for signatures/verify since only the set matters);
+    membership_refs[k] = (rep_id, doc_id) rows — NON-rep members only —
+    for hash(rep_id) bucket k."""
+    g1_t = ray.remote(num_returns=2 * nb)(_g1_split_groups)
+    g2_t = ray.remote(num_returns=1 + nb)(_g2_resolve_groups)
+    g3_t = ray.remote(num_returns=nb)(_g3_route_members)
+    g4_t = ray.remote(_g4_membership)
+    g1 = [g1_t.remote(b, nb, shingle) for b in blocks]
+    heads = [r[:nb] for r in g1]
+    members = [r[nb:] for r in g1]
+    g2 = [g2_t.remote(nb, *[h[j] for h in heads]) for j in range(nb)]
+    reps_refs = [r[0] for r in g2]
+    maps = [r[1:] for r in g2]  # maps[j][k]: key bucket j -> rep bucket k
+    g3 = _norm([g3_t.remote(nb, len(members),
+                            *[m[k] for m in members],
+                            *[maps[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
+    membership_refs = [g4_t.remote(*[g3[k][r] for k in range(nb)])
+                       for r in range(nb)]
+    return reps_refs, membership_refs
+
+
+# ---------------- rep-pair expansion back to member pairs ----------------
+
+def _x1_pair_requests(nb: int, pbucket: int, pairs_tbl: pa.Table):
+    """Expansion wave 1 (per pair bucket): distinct rep ids referenced by
+    this bucket's verified pairs -> (rep_id, pbucket) slices routed by
+    hash(rep_id)."""
+    empty = pa.table({"rep_id": pa.array([], pa.int64()),
+                      "pbucket": pa.array([], pa.int64())})
+    if pairs_tbl.num_rows == 0:
+        return _scalar_if_one([empty] * nb, nb)
+    reps = np.unique(np.concatenate([
+        pairs_tbl["doc_a"].to_numpy(zero_copy_only=False),
+        pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)])).astype(np.int64)
+    rb = _doc_bucket(reps, nb)
+    return _scalar_if_one(
+        [pa.table({"rep_id": pa.array(reps[i]),
+                   "pbucket": pa.array(np.full(len(i), pbucket), pa.int64())})
+         for i in _bucket_slices(rb, nb)], nb)
+
+
+def _x2_route_members(nb: int, membership: pa.Table,
+                      *req_slices: pa.Table):
+    """Expansion wave 2 (per rep bucket): requested reps' member lists
+    routed to the requesting pair buckets."""
+    empty = pa.table({"rep_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    reqs = [s.to_pandas() for s in req_slices if s.num_rows]
+    if not reqs or membership.num_rows == 0:
+        return _scalar_if_one([empty] * nb, nb)
+    req = pd.concat(reqs, ignore_index=True)
+    out = req.merge(membership.to_pandas(), on="rep_id", how="inner")
+    pb = out["pbucket"].to_numpy()
+    t = pa.table({"rep_id": pa.array(out["rep_id"].to_numpy(), pa.int64()),
+                  "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
+    return _scalar_if_one([t.take(pa.array(i))
+                           for i in _bucket_slices(pb, nb)], nb)
+
+
+def _x3_expand(pairs_tbl: pa.Table, *member_slices: pa.Table) -> pa.Table:
+    """Expansion wave 3 (per pair bucket): verified REP pairs -> all member
+    pairs (ma, mb) for ma in group(rep_a), mb in group(rep_b), jaccard
+    unchanged (identical shingle sets => identical Jaccard). Fast path:
+    both groups singleton (the overwhelmingly common case) passes rows
+    through vectorized."""
+    if pairs_tbl.num_rows == 0:
+        return _EMPTY_PAIRS.empty_table()
+    mem = [s.to_pandas() for s in member_slices if s.num_rows]
+    if not mem:
+        return pairs_tbl
+    a = pairs_tbl["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)
+    j = pairs_tbl["jaccard"].to_numpy(zero_copy_only=False)
+    groups = {int(r): g["doc_id"].to_numpy()
+              for r, g in pd.concat(mem, ignore_index=True)
+              .groupby("rep_id", sort=False)}
+    sizes = pd.Series({r: len(v) for r, v in groups.items()}, dtype="int64")
+    ga_n = pd.Series(a).map(sizes).fillna(0).to_numpy(dtype=np.int64)
+    gb_n = pd.Series(b).map(sizes).fillna(0).to_numpy(dtype=np.int64)
+    singleton = (ga_n == 0) & (gb_n == 0)
+    out_a = [a[singleton]]
+    out_b = [b[singleton]]
+    out_j = [j[singleton]]
+    for i in np.flatnonzero(~singleton):
+        ma = np.append(groups.get(int(a[i]), np.empty(0, np.int64)), a[i])
+        mb = np.append(groups.get(int(b[i]), np.empty(0, np.int64)), b[i])
+        xa = np.repeat(ma, len(mb))
+        xb = np.tile(mb, len(ma))
+        out_a.append(np.minimum(xa, xb))
+        out_b.append(np.maximum(xa, xb))
+        out_j.append(np.full(len(xa), j[i]))
+    oa = np.concatenate(out_a).astype(np.int64)
+    ob = np.concatenate(out_b).astype(np.int64)
+    oj = np.concatenate(out_j)
+    order = np.lexsort((ob, oa))
+    return pa.table({"doc_a": pa.array(oa[order]),
+                     "doc_b": pa.array(ob[order]),
+                     "jaccard": pa.array(oj[order])})
+
+
+def _x4_intra_pairs(membership: pa.Table) -> pa.Table:
+    """Expansion wave 4 (per rep bucket): within-group pairs at jaccard 1.0
+    (identical shingle sets). A group of k docs intrinsically contributes
+    k(k-1)/2 OUTPUT rows — callers that only need connectivity should use
+    ``neardup_components`` (star edges, linear in k)."""
+    if membership.num_rows == 0:
+        return _EMPTY_PAIRS.empty_table()
+    df = membership.to_pandas()
+    out_a, out_b = [], []
+    for r, g in df.groupby("rep_id", sort=False):
+        ids = np.sort(np.append(g["doc_id"].to_numpy(), r))
+        ai, bj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bj])
+    oa = np.concatenate(out_a)
+    ob = np.concatenate(out_b)
+    order = np.lexsort((ob, oa))
+    return pa.table({"doc_a": pa.array(oa[order], pa.int64()),
+                     "doc_b": pa.array(ob[order], pa.int64()),
+                     "jaccard": pa.array(np.ones(len(oa)))})
+
+
+def _lsh_waves_mat(mat: ray.data.Dataset, nb: int, shingle: int):
+    """Waves 1-3 over a MATERIALIZED (doc_id, text) Dataset: returns
+    (per-pbucket pair refs, per-(pbucket -> dbucket) request slice refs)."""
+    blocks = mat.to_arrow_refs()
+    w1_t = ray.remote(num_returns=nb)(_w1_split_bands)
+    w2_t = ray.remote(num_returns=nb)(_w2_band_pairs)
+    w3_t = ray.remote(num_returns=1 + nb)(_w3_dedup_requests)
+    w1 = _norm([w1_t.remote(b, nb, shingle) for b in blocks], nb)
+    w2 = _norm([w2_t.remote(nb, *[s[j] for s in w1]) for j in range(nb)], nb)
+    w3 = [w3_t.remote(nb, j, *[w[j] for w in w2]) for j in range(nb)]
+    pair_refs = [r[0] for r in w3]
+    req_slices = [r[1:] for r in w3]  # req_slices[j][k]: pbucket j -> dbucket k
+    return pair_refs, req_slices
 
 
 def _lsh_waves(ds: ray.data.Dataset, shingle: int, nb: int | None):
@@ -468,15 +773,7 @@ def _lsh_waves(ds: ray.data.Dataset, shingle: int, nb: int | None):
     int rows or the candidate docs' texts; the corpus itself never moves."""
     mat = ds.select_columns(["doc_id", "text"]).materialize()
     nb = nb or sized_n_buckets(mat.count(), rows_per_bucket=DOCS_PER_BUCKET)
-    blocks = mat.to_arrow_refs()
-    w1_t = ray.remote(num_returns=nb)(_w1_split_bands)
-    w2_t = ray.remote(num_returns=nb)(_w2_band_pairs)
-    w3_t = ray.remote(num_returns=1 + nb)(_w3_dedup_requests)
-    w1 = _norm([w1_t.remote(b, nb, shingle) for b in blocks], nb)
-    w2 = _norm([w2_t.remote(nb, *[s[j] for s in w1]) for j in range(nb)], nb)
-    w3 = [w3_t.remote(nb, j, *[w[j] for w in w2]) for j in range(nb)]
-    pair_refs = [r[0] for r in w3]
-    req_slices = [r[1:] for r in w3]  # req_slices[j][k]: pbucket j -> dbucket k
+    pair_refs, req_slices = _lsh_waves_mat(mat, nb, shingle)
     return nb, mat, pair_refs, req_slices
 
 
@@ -523,28 +820,12 @@ def _route_candidate_texts(ds: ray.data.Dataset, shingle: int,
         [tag.remote(j, *[w4[k][j] for k in range(nb)]) for j in range(nb)])
 
 
-def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
-                       shingle: int = 1,
-                       n_buckets: int | None = None) -> ray.data.Dataset:
-    """Exact near-dup pairs at scale: LSH candidates, then an exact
-    shingle-set Jaccard verify over ONLY the candidate pairs — a fully
-    DISTRIBUTED bucketed hash-join over direct task waves:
-
-    1. band waves produce per-pair-bucket candidate pairs plus int-only
-       (doc_id, pbucket) text requests keyed by hash(doc_id);
-    2. each doc bucket inner-joins its requests to its texts and routes each
-       pair's two texts to the pair's verify bucket;
-    3. each verify bucket builds a local shingle matrix over ITS docs only
-       and verifies its pairs in one einsum (integer intersections — exact
-       rationals, same math as the brute-force baseline).
-
-    Per-task memory is one bucket's candidate texts; the driver holds only
-    object refs. Candidate-doc text volume crossing the wire is
-    O(candidate docs x requesting buckets), never O(corpus^2) or a
-    broadcast. LSH at 16 bands x 4 rows misses a >=0.95-Jaccard pair with
-    probability ~2e-12, so the verified output equals the brute-force pair
-    set (tests assert equality)."""
-    nb, mat, pair_refs, req_slices = _lsh_waves(ds, shingle, n_buckets)
+def _verify_waves(mat: ray.data.Dataset, nb: int, shingle: int,
+                  threshold: float) -> list:
+    """Waves 1-5 over a materialized (doc_id, text) Dataset: LSH candidates
+    plus the distributed pairs<->texts hash-join and exact bitset verify.
+    Returns per-pair-bucket refs of verified (doc_a, doc_b, jaccard)."""
+    pair_refs, req_slices = _lsh_waves_mat(mat, nb, shingle)
     d1_t = ray.remote(num_returns=nb)(_w1_split_docs)
     w4_t = ray.remote(num_returns=nb)(_w4_attach)
     w5_t = ray.remote(_w5_verify)
@@ -553,10 +834,101 @@ def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
                             *[s[k] for s in d1],
                             *[req_slices[j][k] for j in range(nb)])
                 for k in range(nb)], nb)
-    out = [w5_t.remote(threshold, shingle, pair_refs[j],
-                       *[w4[k][j] for k in range(nb)])
-           for j in range(nb)]
-    return ray.data.from_arrow_refs(out)
+    return [w5_t.remote(threshold, shingle, pair_refs[j],
+                        *[w4[k][j] for k in range(nb)])
+            for j in range(nb)]
+
+
+def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
+                       shingle: int = 1,
+                       n_buckets: int | None = None,
+                       collapse: bool = True) -> ray.data.Dataset:
+    """Exact near-dup pairs at scale: LSH candidates, then an exact
+    shingle-set Jaccard verify over ONLY the candidate pairs — a fully
+    DISTRIBUTED bucketed hash-join over direct task waves:
+
+    0. (``collapse``, default on) docs are first grouped by CANONICAL
+       SHINGLE SET — docs with equal sets have identical minhash signatures
+       and identical Jaccard to every other doc, so only one representative
+       per group enters the band waves. This is the mega-duplicate guard: a
+       corpus with 100k exact copies of one page would otherwise put a
+       100k-doc run in one band group and generate O(10^10) candidate pairs
+       inside a single task; collapsed, it contributes ONE banding row. The
+       verified rep pairs are re-expanded to member pairs afterward
+       (cross-group jaccard is unchanged; within-group pairs are exactly
+       1.0), so the output equals the uncollapsed pair set row for row.
+    1. band waves produce per-pair-bucket candidate pairs plus int-only
+       (doc_id, pbucket) text requests keyed by hash(doc_id);
+    2. each doc bucket inner-joins its requests to its texts and routes each
+       pair's two texts to the pair's verify bucket;
+    3. each verify bucket builds a local shingle BITSET matrix over ITS docs
+       only and verifies its pairs with and+popcount (integer intersections
+       — exact rationals, same math as the brute-force baseline).
+
+    Per-task memory is one bucket's candidate texts; the driver holds only
+    object refs. Candidate-doc text volume crossing the wire is
+    O(candidate docs x requesting buckets), never O(corpus^2) or a
+    broadcast. LSH at 16 bands x 4 rows misses a >=0.95-Jaccard pair with
+    probability ~2e-12, so the verified output equals the brute-force pair
+    set (tests assert equality). NOTE: a group of k set-identical docs
+    intrinsically contributes k(k-1)/2 OUTPUT rows; when only connectivity
+    is needed use ``neardup_components`` (star edges, linear in k)."""
+    mat = ds.select_columns(["doc_id", "text"]).materialize()
+    nb = n_buckets or sized_n_buckets(mat.count(),
+                                      rows_per_bucket=DOCS_PER_BUCKET)
+    if not collapse:
+        return ray.data.from_arrow_refs(
+            _verify_waves(mat, nb, shingle, threshold))
+    reps_refs, membership_refs = _collapse_waves(mat.to_arrow_refs(), nb,
+                                                 shingle)
+    reps = ray.data.from_arrow_refs(reps_refs).materialize()
+    out = _verify_waves(reps, nb, shingle, threshold)
+    x1_t = ray.remote(num_returns=nb)(_x1_pair_requests)
+    x2_t = ray.remote(num_returns=nb)(_x2_route_members)
+    x3_t = ray.remote(_x3_expand)
+    x4_t = ray.remote(_x4_intra_pairs)
+    x1 = _norm([x1_t.remote(nb, j, out[j]) for j in range(nb)], nb)
+    x2 = _norm([x2_t.remote(nb, membership_refs[k],
+                            *[x1[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
+    expanded = [x3_t.remote(out[j], *[x2[k][j] for k in range(nb)])
+                for j in range(nb)]
+    intra = [x4_t.remote(m) for m in membership_refs]
+    return ray.data.from_arrow_refs(expanded + intra)
+
+
+def neardup_components(ds: ray.data.Dataset, threshold: float,
+                       shingle: int = 1,
+                       n_buckets: int | None = None,
+                       max_rounds: int = 64) -> ray.data.Dataset:
+    """Connected components of the near-dup graph WITHOUT materializing
+    quadratic within-group pairs: collapse docs by canonical shingle set ->
+    LSH + exact verify over ONE representative per group -> components over
+    rep pairs UNION star edges (rep -> member).
+
+    A group of 100k set-identical docs contributes 100k-1 star edges
+    instead of ~5e9 expanded pairs, so per-task memory stays bounded on
+    mega-duplicate corpora. The labeling is IDENTICAL to
+    ``connected_components(lsh_verified_pairs(...))``: member pairs connect
+    exactly the node sets the star edges do (same-set docs always pair at
+    jaccard 1.0 >= threshold), and min-label = min doc_id either way."""
+    mat = ds.select_columns(["doc_id", "text"]).materialize()
+    nb = n_buckets or sized_n_buckets(mat.count(),
+                                      rows_per_bucket=DOCS_PER_BUCKET)
+    reps_refs, membership_refs = _collapse_waves(mat.to_arrow_refs(), nb,
+                                                 shingle)
+    reps = ray.data.from_arrow_refs(reps_refs).materialize()
+    out = _verify_waves(reps, nb, shingle, threshold)
+
+    @ray.remote
+    def star(membership: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": membership["rep_id"],
+                         "doc_b": membership["doc_id"]})
+
+    edges = ray.data.from_arrow_refs(
+        list(out) + [star.remote(m) for m in membership_refs])
+    return connected_components(edges, max_rounds=max_rounds,
+                                n_buckets=n_buckets)
 
 
 # ----------------------------------------------- connected components

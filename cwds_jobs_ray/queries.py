@@ -779,15 +779,18 @@ def minhash_lsh_dups(sf_dir: str):
 
 
 def neardup_clusters(sf_dir: str):
-    """Duplicate CLUSTERS: LSH-verified word-set Jaccard pairs -> connected
-    components via distributed min-label propagation (edges AND the
-    node-label map stay keyed Datasets; the driver sees only a per-round
-    changed count). Oracle-exact: DuckDB computes the same transitive
-    closure with a recursive CTE."""
-    from .functions.dedup import connected_components, lsh_verified_pairs
+    """Duplicate CLUSTERS: shingle-set collapse -> LSH-verified word-set
+    Jaccard pairs over group representatives -> connected components over
+    rep pairs + star edges via distributed min-label propagation (edges AND
+    the node-label map stay keyed Datasets; the driver sees only a
+    per-round changed count). The collapse means set-identical docs never
+    enter the band waves or the quadratic pair set — a mega-duplicate
+    corpus costs linear edges, and labels are provably identical to
+    components over the full pair set. Oracle-exact: DuckDB computes the
+    same transitive closure with a recursive CTE."""
+    from .functions.dedup import neardup_components
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = lsh_verified_pairs(ds, JACCARD_THRESHOLD, shingle=1)
-    return connected_components(pairs)
+    return neardup_components(ds, JACCARD_THRESHOLD, shingle=1)
 
 
 ANN_K = 10
@@ -867,8 +870,7 @@ def clean_corpus(sf_dir: str):
        canonical doc (cluster_id == doc_id, i.e. min id) survives.
     Output: (doc_id, n_words) of the clean corpus.
     """
-    from .functions.dedup import connected_components, exact_dedup, \
-        lsh_verified_pairs
+    from .functions.dedup import exact_dedup, neardup_components
     from .functions.text import _marker_counts, n_words as _nw
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -884,9 +886,9 @@ def clean_corpus(sf_dir: str):
 
     gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=4096)
     winners = exact_dedup(gated, keep_cols=["text", "n_words"]).materialize()
-    pairs = lsh_verified_pairs(winners.select_columns(["doc_id", "text"]),
-                               JACCARD_THRESHOLD, shingle=3)
-    clusters = connected_components(pairs)
+    clusters = neardup_components(
+        winners.select_columns(["doc_id", "text"]),
+        JACCARD_THRESHOLD, shingle=3)
     # drop non-canonical near-dups via a bucketed hash ANTI-join (winners
     # |><| noncanon ids co-located by doc_id hash) — int-only shuffle on the
     # noncanon side, (doc_id, n_words) ints on the winners side, nothing

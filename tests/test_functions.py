@@ -470,3 +470,62 @@ def test_default_n_buckets_honors_wave_returns_cap(monkeypatch):
     monkeypatch.setattr(dd.ray, "cluster_resources",
                         lambda: {"CPU": 256.0})
     assert dd.default_n_buckets() == dd.WAVE_MAX_RETURNS
+
+
+def test_collapse_expansion_equals_uncollapsed_on_dup_heavy_corpus():
+    """The shingle-set collapse + expansion must reproduce the uncollapsed
+    verified pair set row for row (including jaccard) on a corpus with
+    exact-duplicate groups, cross-block groups, and near-dups."""
+    from cwds_jobs_ray.functions.dedup import lsh_verified_pairs
+    texts = (["alpha beta gamma delta"] * 7          # exact-dup group
+             + ["beta alpha gamma delta"] * 3        # same word SET, diff order
+             + ["alpha beta gamma delta epsilon"]    # near-dup of the group
+             + [f"unique words only here {i} zz{i}" for i in range(20)])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def norm(d):
+        return (d.to_pandas().sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    a = norm(lsh_verified_pairs(ds, 0.8, shingle=1, collapse=True))
+    b = norm(lsh_verified_pairs(ds, 0.8, shingle=1, collapse=False))
+    assert len(a) > 0
+    # the 10 set-identical docs alone contribute 45 jaccard-1.0 pairs
+    assert (a["jaccard"] == 1.0).sum() >= 45
+    assert a.equals(b)
+
+
+def test_neardup_components_mega_duplicate_corpus():
+    """A mega-duplicate group (30k copies of one text) must cluster in
+    linear work: collapsed to ONE banding row + star edges, it never enters
+    the quadratic candidate or pair-expansion paths."""
+    from cwds_jobs_ray.functions.dedup import neardup_components
+    n_copies = 30_000
+    texts = (["the same exact page content repeated everywhere"] * n_copies
+             + [f"distinct filler document number {i} qq{i}" for i in range(50)])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = neardup_components(
+        ray.data.from_arrow(t).repartition(8), 0.95, shingle=1).to_pandas()
+    mega = out[out["doc_id"] < n_copies]
+    assert len(mega) == n_copies
+    assert (mega["cluster_id"] == 0).all()
+
+
+def test_run_pairs_chunked_equals_triu(monkeypatch):
+    """Chunked big-run pair generation must equal the one-shot triu."""
+    from cwds_jobs_ray.functions import dedup as dd
+    ids = np.arange(100, 157, dtype=np.int64)
+    a1, b1 = [], []
+    dd._run_pairs(ids, a1, b1)
+    monkeypatch.setattr(dd, "_RUN_CHUNK", 7)
+    a2, b2 = [], []
+    dd._run_pairs(ids, a2, b2)
+    p1 = set(zip(np.concatenate(a1), np.concatenate(b1)))
+    p2 = set(zip(np.concatenate(a2), np.concatenate(b2)))
+    n = len(ids)
+    assert p1 == p2
+    assert len(p2) == n * (n - 1) // 2
+    assert all(x < y for x, y in p2)
