@@ -250,8 +250,9 @@ def _golden_oracle_sqls() -> dict[str, str]:
     # -- ANN approximate indexes: naive per-vector loops over the SAME
     # pinned planes/centroids the engine uses (the parameters are shared
     # constants, like BPE_PATTERN above; the evaluation is independent) --
-    from cwds_jobs_ray.functions.ann import (N_CENTROIDS, N_PROBE, _kmeans,
-                                             _planes)
+    from cwds_jobs_ray.functions.ann import (IVF_TRAIN_SAMPLE, N_CENTROIDS,
+                                             N_PROBE, _kmeans, _planes,
+                                             _sample_hash)
     from cwds_jobs_ray.queries import ANN_K, ANN_N_QUERIES
 
     emb = pq.read_table(f"{ORACLE_SF_DIR}/embeddings.parquet",
@@ -284,7 +285,12 @@ def _golden_oracle_sqls() -> dict[str, str]:
     def lsh_cand(qi, i):
         return bin(sig[qi] ^ sig[i]).count("1") <= 1
 
-    sample = np.stack(unit[:4096])  # engine trains on ds.limit(4096)
+    # engine trains on the deterministic content-hash bottom-k sample —
+    # reproduce it exactly: k smallest _sample_hash(vec_id), ties by vec_id
+    sh = _sample_hash(np.asarray(vec_ids, dtype=np.int64))
+    s_idx = sorted(range(len(vec_ids)),
+                   key=lambda i: (int(sh[i]), int(vec_ids[i])))
+    sample = np.stack([unit[i] for i in s_idx[:IVF_TRAIN_SAMPLE]])
     cents = _kmeans(sample, N_CENTROIDS)
     assign = [int(np.argmax(cc)) for cc in (np.stack(unit) @ cents.T)]
     qprobe = {qi: set(np.argsort(-(unit[qi] @ cents.T))[:N_PROBE].tolist())

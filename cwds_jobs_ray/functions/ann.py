@@ -53,6 +53,42 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
+def _sample_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-row sampling key (fmix64 avalanche of vec_id,
+    masked to 63 bits so int64 ordering matches unsigned ordering). A pure
+    function of the RECORD, never of block layout — so the k-smallest-hash
+    sample is identical on the engine, the naive golden oracle, and any
+    repartitioning of the input (the same content-hash discipline the
+    train/val split uses)."""
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
+def _bottomk_sample(ds: ray.data.Dataset, k: int) -> pd.DataFrame:
+    """UNBIASED deterministic sample: the k rows with the smallest
+    ``_sample_hash(vec_id)`` (ties broken by vec_id). Per-block partial
+    bottom-k -> bounded driver final of <= n_blocks x k rows — never a
+    first-blocks bias, never a full-corpus pull."""
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _sample_hash(ids)
+        if len(ids) > k:
+            idx = np.argpartition(h, k - 1)[:k]
+            batch = batch.take(pa.array(idx))
+            h = h[idx]
+        return batch.append_column("_h", pa.array(h))
+
+    df = (ds.select_columns(["vec_id", "embedding"])
+            .map_batches(part, batch_format="pyarrow", batch_size=8192)
+            .to_pandas())
+    return (df.sort_values(["_h", "vec_id"], kind="stable").head(k)
+            .drop(columns="_h").reset_index(drop=True))
+
+
 def _keyed_topk_final(partials: ray.data.Dataset, k: int,
                       n_buckets: int | None = None) -> ray.data.Dataset:
     """Final reduce of per-block partial top-k rows, keyed by query_id into
@@ -168,6 +204,7 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray,
 
 N_CENTROIDS = 16
 N_PROBE = 3
+IVF_TRAIN_SAMPLE = 4096
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
@@ -194,11 +231,15 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
     corpus into inverted lists; each query probes only its N_PROBE nearest
     centroids' lists.
 
-    The quantizer is trained once on a driver-side sample and broadcast; at
-    scale, train on `ds.random_sample(...)` and raise N_CENTROIDS ~ sqrt(n).
+    The quantizer is trained once on a driver-side sample and broadcast.
+    The sample is the deterministic content-hash bottom-k (``_bottomk_sample``)
+    — unbiased (hash-uniform over the whole corpus, not the first blocks)
+    and reproducible across block layouts; at scale raise N_CENTROIDS ~
+    sqrt(n).
     """
-    sample = _unit(np.asarray(ds.limit(4096).to_pandas()["embedding"].tolist(),
-                              dtype=np.float64))
+    sample = _unit(np.asarray(
+        _bottomk_sample(ds, IVF_TRAIN_SAMPLE)["embedding"].tolist(),
+        dtype=np.float64))
     cents = _kmeans(sample, N_CENTROIDS)
     q = _unit(queries)
     qprobe = np.argsort(-(q @ cents.T), axis=1)[:, :N_PROBE]
@@ -229,6 +270,34 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
 
 
 _EMPTY_VPAIRS = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+
+def _windowed_submit(thunks, window: int):
+    """Submit task thunks with at most ``window`` tasks IN FLIGHT (pending
+    execution) at once: the driver never builds the full task backlog
+    eagerly — at 10^6 corpus blocks an eager O(B^2) submission loop would
+    create 5*10^11 task handles before the first result lands. Completed
+    refs accumulate (they are the result set); returns (refs, peak_in_flight)
+    so tests can assert the bound."""
+    refs, pending, peak = [], [], 0
+    for thunk in thunks:
+        while len(pending) >= window:
+            _, pending = ray.wait(pending, num_returns=1)
+        r = thunk()
+        pending.append(r)
+        peak = max(peak, len(pending))
+        refs.append(r)
+    return refs, peak
+
+
+def _sweep_window() -> int:
+    """In-flight window for the block-pair sweep: 4x cluster task slots."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16)) \
+            if ray.is_initialized() else 16
+    except Exception:  # noqa: BLE001 — sizing heuristic only
+        cpus = 16
+    return max(8, 4 * cpus)
 
 
 def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float,
@@ -278,8 +347,10 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float,
         return pa.table({"vec_a": pa.array(ids_a[ai], pa.int64()),
                          "vec_b": pa.array(ids_b[bj], pa.int64())})
 
-    refs = [block_pair.remote(blocks[i], blocks[j], i == j)
-            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    nblk = len(blocks)
+    thunks = (lambda i=i, j=j: block_pair.remote(blocks[i], blocks[j], i == j)
+              for i in range(nblk) for j in range(i, nblk))
+    refs, _peak = _windowed_submit(thunks, _sweep_window())
     if not refs:
         return ray.data.from_arrow(_EMPTY_VPAIRS.empty_table())
     return ray.data.from_arrow_refs(refs)

@@ -841,14 +841,13 @@ COSINE_NEARDUP_THRESHOLD = 0.5
 
 def embedding_neardup_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs over a threshold (exact
-    distributed block-pair sweep; see functions/ann.py)."""
+    distributed block-pair sweep with a bounded in-flight submission
+    window; see functions/ann.py). Returns the Dataset — at 100 TB the
+    qualifying pair set can be enormous and must stream to its sink, never
+    through the driver."""
     from .functions.ann import cosine_neardup_pairs
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    df = cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD).to_pandas()
-    if df.empty:  # all-empty blocks lose their schema through to_pandas
-        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                           "vec_b": pd.Series(dtype="int64")})
-    return df
+    return cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
 
 
 CLEAN_MIN_WORDS = 5

@@ -529,3 +529,36 @@ def test_run_pairs_chunked_equals_triu(monkeypatch):
     assert p1 == p2
     assert len(p2) == n * (n - 1) // 2
     assert all(x < y for x, y in p2)
+
+
+def test_windowed_submit_bounds_in_flight():
+    """The block-pair sweep submitter must never have more than `window`
+    tasks pending at once."""
+    from cwds_jobs_ray.functions.ann import _windowed_submit
+
+    @ray.remote
+    def work(x):
+        import time
+        time.sleep(0.02)
+        return x
+
+    thunks = (lambda x=x: work.remote(x) for x in range(40))
+    refs, peak = _windowed_submit(thunks, window=5)
+    assert peak <= 5
+    assert sorted(ray.get(refs)) == list(range(40))
+
+
+def test_ivf_sample_is_content_hash_deterministic():
+    """The IVF training sample must be a pure function of the rows, not the
+    block layout: same rows, different partitioning -> identical sample."""
+    from cwds_jobs_ray.functions.ann import _bottomk_sample
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(rng.normal(size=(n, 8)).tolist())})
+    a = _bottomk_sample(ray.data.from_arrow(t).repartition(2), 64)
+    b = _bottomk_sample(ray.data.from_arrow(t).repartition(9), 64)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert len(a) == 64
+    # unbiased in the sense of not first-rows: the sample isn't 0..63
+    assert a["vec_id"].tolist() != list(range(64))
