@@ -36,6 +36,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..schema import from_pandas as _pa_from_pandas
+
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 WAVE_MAX_RETURNS = 256  # per-task num_returns ceiling for wave exchanges
@@ -123,7 +125,7 @@ def exact_dedup(ds: ray.data.Dataset,
         g = df.groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"),
             **{c: (c, "first") for c in keep}).reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = _pa_from_pandas(g, preserve_index=False)
         bucket = (hash_strings(out["text"]) % np.uint64(nb)).astype(np.int64)
         return out.append_column("bucket", pa.array(bucket))
 
@@ -131,7 +133,7 @@ def exact_dedup(ds: ray.data.Dataset,
         g = bucket_tbl.to_pandas().groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"),
             **{c: (c, "first") for c in keep}).reset_index()
-        return pa.Table.from_pandas(g[out_cols], preserve_index=False)
+        return _pa_from_pandas(g[out_cols], preserve_index=False)
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow")
     return wave_group_reduce(pre_ds, "bucket", nb, final)

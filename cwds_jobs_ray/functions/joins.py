@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..schema import from_pandas as _pa_from_pandas
+
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -90,7 +92,7 @@ def bucketed_asof_join(
         out = pd.merge_asof(l, r, left_on=left_on, right_on=right_on,
                             left_by=left_by, right_by=right_by,
                             direction="backward")
-        return pa.Table.from_pandas(out.dropna(subset=[right_by]),
+        return _pa_from_pandas(out.dropna(subset=[right_by]),
                                     preserve_index=False)
 
     from ..stages.waves import wave_group_reduce

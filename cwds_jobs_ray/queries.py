@@ -22,12 +22,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .schema import from_pandas as _pa_from_pandas
+
 # --------------------------------------------------------------------------
 # helpers
 
 
 def _read(sf_dir: str, table: str, columns=None, filter=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+    """Column/row-pruned parquet read with the file's ``b'pandas'`` schema
+    metadata stripped (metadata-carrying schemas are unhashable in pyarrow
+    16.1, which defeats Ray Data's block-schema dedup and floods the log —
+    see schema.from_pandas). One footer read on the driver; blocks then
+    carry the clean schema."""
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{table}.parquet"
+    sch = pq.ParquetFile(path).schema_arrow.remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=sch, columns=columns,
                                  filter=filter)
 
 
@@ -123,7 +135,7 @@ def _lww_winners(sf_dir: str) -> ray.data.Dataset:
 
     def lww_reduce(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(["ts", "event_id"], kind="stable")
-        return pa.Table.from_pandas(
+        return _pa_from_pandas(
             df.groupby("user_id", sort=False).tail(1), preserve_index=False)
 
     def block_winners(batch: pa.Table) -> pa.Table:
@@ -187,11 +199,11 @@ def cdc_batch_counters(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = _derive_op(t).to_pandas()
         g = df.groupby("op", sort=False).size().rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("op", sort=False)["n"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     return _tree_agg(ds, partial, final)
 
@@ -205,7 +217,7 @@ def cdc_dedup_redelivery(sf_dir: str):
                              columns=["event_id", "user_id", "ts"]))
 
     def dedup(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return _pa_from_pandas(
             t.to_pandas().drop_duplicates("event_id"), preserve_index=False)
 
     return _tree_agg(doubled, dedup, dedup, bucket_on="event_id")
@@ -223,7 +235,7 @@ def savepoint_next_batch(sf_dir: str):
 
     def topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(["ts", "event_id"], kind="stable")
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        return _pa_from_pandas(df.head(k), preserve_index=False)
 
     out = _tree_agg(ds, topk, topk).take_all()
     if len(out) < k:  # oracle's LIMIT 1 OFFSET k-1 -> empty result
@@ -285,12 +297,12 @@ def opcode_recode(sf_dir: str):
         df = _derive_op(t).to_pandas()
         g = df.groupby(["op", "event_type"], sort=False).size() \
               .rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(["op", "event_type"], sort=False)["n"] \
              .sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     return _tree_agg(ds, partial, final)
 
@@ -336,13 +348,13 @@ def join_broadcast_dims(sf_dir: str):
         g = t.to_pandas().groupby("r_name", sort=False).agg(
             n_customers=("c_acctbal", "size"),
             sum_acctbal=("c_acctbal", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("r_name", sort=False).agg(
             n_customers=("n_customers", "sum"),
             sum_acctbal=("sum_acctbal", "sum")).reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = _pa_from_pandas(g, preserve_index=False)
         return out.set_column(out.schema.get_field_index("sum_acctbal"),
                               "sum_acctbal", _round2(out["sum_acctbal"]))
 
@@ -400,12 +412,12 @@ def join_large_rev_by_priority(sf_dir: str):
         df = t.to_pandas()
         df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def per_order(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("l_orderkey", sort=False)["rev"].sum() \
              .reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     rev = _tree_agg(li, partial, per_order, bucket_on="l_orderkey")
     orders = _read(sf_dir, "orders",
@@ -416,13 +428,13 @@ def join_large_rev_by_priority(sf_dir: str):
     def pri_partial(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("o_orderpriority", sort=False).agg(
             n_orders=("rev", "size"), sum_rev=("rev", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def pri_final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("o_orderpriority", sort=False).agg(
             n_orders=("n_orders", "sum"), sum_rev=("sum_rev", "sum")) \
              .reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = _pa_from_pandas(g, preserve_index=False)
         return out.set_column(out.schema.get_field_index("sum_rev"),
                               "sum_rev", _round2(out["sum_rev"]))
 
@@ -450,12 +462,12 @@ def agg_pricing_summary(sf_dir: str):
             sum_disc=("disc_price", "sum"),
             n=("l_quantity", "size"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(["l_returnflag", "l_linestatus"],
                                   sort=False).sum().reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = _pa_from_pandas(g, preserve_index=False)
         return pa.table({
             "l_returnflag": out["l_returnflag"],
             "l_linestatus": out["l_linestatus"],
@@ -517,7 +529,7 @@ def value_histogram(sf_dir: str):
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("bin", sort=False)["n"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     return _tree_agg(ds, partial, final, bucket_on="bin")
 
@@ -536,12 +548,12 @@ def events_window_agg(sf_dir: str):
         df = batch.to_pandas()
         g = df.groupby(["user_id", "day"], sort=False).agg(
             n=("value", "size"), sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(["user_id", "day"], sort=False).agg(
             n=("n", "sum"), sum_value=("sum_value", "sum")).reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = _pa_from_pandas(g, preserve_index=False)
         return out.set_column(out.schema.get_field_index("sum_value"),
                               "sum_value", _round2(out["sum_value"]))
 
@@ -568,7 +580,7 @@ def topk_hot_keys(sf_dir: str):
         g = t.to_pandas().groupby("user_id", sort=False)["n"].sum().reset_index()
         g = g.sort_values(["n", "user_id"], ascending=[False, True],
                           kind="stable").head(10)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     return _tree_agg(ds, partial, final)
 
@@ -581,7 +593,7 @@ def stable_order_head(sf_dir: str):
 
     def topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(["ts", "event_id"], kind="stable")
-        return pa.Table.from_pandas(df.head(200), preserve_index=False)
+        return _pa_from_pandas(df.head(200), preserve_index=False)
 
     return _tree_agg(ds, topk, topk)
 
@@ -665,7 +677,7 @@ def sessionize_events(sf_dir: str):
     from .stages.waves import wave_group_reduce
 
     def sessionize_tbl(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(sessionize_bucket(t.to_pandas()),
+        return _pa_from_pandas(sessionize_bucket(t.to_pandas()),
                                     preserve_index=False)
 
     return wave_group_reduce(
@@ -703,12 +715,12 @@ def token_counts_by_lang(sf_dir: str):
                            "nw": _nw(batch["text"]).to_pandas()})
         g = df.groupby("lang", sort=False).agg(
             n_tokens=("nw", "sum"), n_docs=("nw", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby("lang", sort=False).agg(
             n_tokens=("n_tokens", "sum"), n_docs=("n_docs", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     return _tree_agg(ds, partial, final)
 
@@ -845,9 +857,16 @@ def embedding_neardup_pairs(sf_dir: str):
     window; see functions/ann.py). Returns the Dataset — at 100 TB the
     qualifying pair set can be enormous and must stream to its sink, never
     through the driver."""
-    from .functions.ann import cosine_neardup_pairs
+    from .functions.ann import _EMPTY_VPAIRS, cosine_neardup_pairs
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
+    pairs = cosine_neardup_pairs(ds, COSINE_NEARDUP_THRESHOLD)
+    # Dataset.to_pandas() on a ZERO-row dataset drops the column names,
+    # which would fail the driver's schema check — only that degenerate
+    # case returns a typed empty frame (count() is metadata-cheap here:
+    # the sweep's output refs are already materialized)
+    if pairs.count() == 0:
+        return _EMPTY_VPAIRS.empty_table().to_pandas()
+    return pairs
 
 
 CLEAN_MIN_WORDS = 5
@@ -1038,13 +1057,13 @@ def events_hopping_window(sf_dir: str):
         df = x.to_pandas().groupby(["user_id", "window_start"],
                                    sort=False).agg(
             n=("value", "size"), sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pa_from_pandas(df, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(["user_id", "window_start"],
                                   sort=False).agg(
             n=("n", "sum"), sum_value=("sum_value", "sum")).reset_index()
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = _pa_from_pandas(g, preserve_index=False)
         ws = pa.array(out["window_start"].to_numpy(zero_copy_only=False)
                       .astype("datetime64[us]"))
         out = out.set_column(out.schema.get_field_index("window_start"),
@@ -1179,12 +1198,12 @@ def top_ngrams(sf_dir: str):
         df = t.to_pandas().sort_values(["n", "ngram"],
                                        ascending=[False, True],
                                        kind="stable").head(TOP_NGRAMS_K)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pa_from_pandas(df, preserve_index=False)
 
     from .stages.waves import wave_group_reduce
 
     def bucket_topk_tbl(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(bucket_topk(t.to_pandas()),
+        return _pa_from_pandas(bucket_topk(t.to_pandas()),
                                     preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",

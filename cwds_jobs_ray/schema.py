@@ -11,6 +11,16 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+def from_pandas(df, **kw) -> pa.Table:
+    """``pa.Table.from_pandas`` with the ``b'pandas'`` schema metadata
+    stripped. pyarrow 16.1 schemas WITH metadata are unhashable
+    (``hash(schema)`` raises "unhashable type: 'dict'"), which makes Ray
+    Data's block-schema dedup log a warning per block pair and skip its
+    cheap early-exit path — so every batch-fn that builds its output from
+    pandas uses this instead."""
+    return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
+
+
 # Primary key of the lake table. turn_idx never crosses a partition: the engine
 # shuffles on conv_id only.
 KEY_COLS = ["conv_id", "turn_idx"]
