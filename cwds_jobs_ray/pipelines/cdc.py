@@ -386,25 +386,26 @@ class CDCJob:
                 manifest.last_segment_seen = max(last_seen, skip_seen)
             manifest.commit(self.table_dir)
             skip_rows, skip_seen = 0, ""
-        total_rows = sum(s.rows for b in batches for s in b)
-        done_rows = 0
         import time as _time
-        t0 = _time.perf_counter()
+
+        from ..stages.progress import TimeLeftEstimator
+
+        # progress / ETA (reference A5: TimeLeftEstimationProvider.java:
+        # items-left x rolling average time per item)
+        est = TimeLeftEstimator(sum(s.rows for b in batches for s in b))
         for i, batch in enumerate(batches):
+            bt0 = _time.perf_counter()
             manifest = self.apply_batch(batch, manifest,
                                         on_before_commit=on_before_commit,
                                         extra_replay_skipped=skip_rows,
                                         extra_segment_seen=skip_seen)
             skip_rows, skip_seen = 0, ""  # folded into the first commit
-            # progress / ETA (reference A5: TimeLeftEstimationProvider.java)
-            done_rows += sum(s.rows for s in batch)
-            el = _time.perf_counter() - t0
-            rate = done_rows / el if el > 0 else 0.0
+            est.record(sum(s.rows for s in batch),
+                       _time.perf_counter() - bt0)
             logger.info(
                 "source %s batch %d/%d: %d/%d events, %.0f events/s, "
-                "est %.1fs left", source, i + 1, len(batches), done_rows,
-                total_rows, rate,
-                (total_rows - done_rows) / rate if rate else 0.0)
+                "est %.1fs left", source, i + 1, len(batches),
+                est.done_items, est.total_items, est.rate, est.eta_s)
         return manifest
 
     def apply_batch(

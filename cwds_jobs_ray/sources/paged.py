@@ -35,18 +35,49 @@ import ray.data
 PageFn = Callable[[str | None], tuple[pa.Table, str | None]]
 
 
-def read_paged(page_fn: PageFn, max_pages: int | None = None) -> ray.data.Dataset:
-    """Drain a token-paginated source into a Dataset (one block per page)."""
+def read_paged(page_fn: PageFn, max_pages: int | None = None,
+               prefetch: bool = True) -> ray.data.Dataset:
+    """Drain a token-paginated source into a Dataset (one block per page).
+
+    With ``prefetch`` (default), page k+1's fetch is dispatched to a
+    background thread the moment page k's response yields its token, so the
+    network round-trip (+ JSON parse) of the NEXT page overlaps the
+    driver's handling of the CURRENT one — the reference's read-thread/
+    write-thread overlap (README.md:62,
+    jobs-cap-users/.../CapUsersInitialJobIterator.java:23-38) within token
+    pagination's serial-token constraint. Page ORDER is unchanged: exactly
+    one fetch is ever in flight, and results are consumed in submission
+    order (tested)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     tables: list[pa.Table] = []
-    token: str | None = None
     n = 0
-    while True:
-        page, token = page_fn(token)
+
+    def consume(page: pa.Table) -> None:
         if page.num_rows:
             tables.append(page)
-        n += 1
-        if token is None or (max_pages is not None and n >= max_pages):
-            break
+
+    if not prefetch:
+        token: str | None = None
+        while True:
+            page, token = page_fn(token)
+            consume(page)
+            n += 1
+            if token is None or (max_pages is not None and n >= max_pages):
+                break
+    else:
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(page_fn, None)
+            while True:
+                page, token = fut.result()
+                n += 1
+                more = (token is not None
+                        and (max_pages is None or n < max_pages))
+                if more:  # one-page lookahead: fetch k+1 while k is consumed
+                    fut = ex.submit(page_fn, token)
+                consume(page)
+                if not more:
+                    break
     if not tables:
         return ray.data.from_items([])
     ds = ray.data.from_arrow(tables[0])

@@ -556,3 +556,23 @@ def test_partition_count_not_divisible_by_group_size(workdir):
         assert job.read_table_arrow().select(
             o.final.column_names).equals(o.final)
         assert m.total("conflict_count") == o.conflict_count
+
+
+def test_time_left_estimator():
+    """Reference A5 parity: eta = items-left x rolling avg time per item,
+    windowed so the estimate tracks CURRENT throughput."""
+    from cwds_jobs_ray.stages.progress import TimeLeftEstimator
+    est = TimeLeftEstimator(1000, window=2)
+    assert est.eta_s == 0.0 and est.rate == 0.0  # unknown before data
+    est.record(100, 1.0)  # 100 items/s
+    assert est.rate == 100.0
+    assert est.eta_s == 9.0  # 900 left / 100 per s
+    est.record(100, 1.0)
+    est.record(400, 1.0)  # window=2 -> avg over last two: 250 items/s
+    assert est.rate == 250.0
+    assert est.eta_s == (1000 - 600) / 250.0
+    est.record(400, 1.0)
+    assert est.items_left == 0 and est.eta_s == 0.0
+    # overshoot never goes negative
+    est.record(50, 1.0)
+    assert est.items_left == 0 and est.eta_s == 0.0

@@ -133,3 +133,53 @@ def test_http_paged_source_retries_exhausted():
     with pytest.raises(TransportError, match="after 3 attempts"):
         src(None)
     assert DownTransport.calls == 3
+
+
+def test_paged_prefetch_preserves_order_and_overlaps():
+    """One-page lookahead: rows come out in strict page order, the fetch of
+    page k+1 STARTS before page k's consumption finishes, and no page past
+    max_pages is ever requested."""
+    import threading
+    import time
+
+    events = []
+    lock = threading.Lock()
+
+    def page_fn(token):
+        i = int(token) if token else 0
+        with lock:
+            events.append(("start", i, time.monotonic()))
+        time.sleep(0.05)  # a slow network round-trip
+        page = pa.table({"id": pa.array([i * 2, i * 2 + 1], pa.int64())})
+        nxt = str(i + 1) if i + 1 < 6 else None
+        with lock:
+            events.append(("end", i, time.monotonic()))
+        return page, nxt
+
+    ds = read_paged(page_fn, max_pages=4)
+    ids = sorted(r["id"] for r in ds.take_all())
+    assert ids == list(range(8))
+    # pages are FETCHED in strict token order (the serial-token invariant),
+    # and nothing past max_pages is ever requested
+    fetched = [i for kind, i, _ in events if kind == "start"]
+    assert fetched == [0, 1, 2, 3]
+    # overlap: fetch k+1 starts before... with trivially fast consumption the
+    # prefetch should make total wall-time ~= sum of fetches (serial-token
+    # bound) but fetch i+1 must start promptly after fetch i's token arrives
+    starts = {i: t for kind, i, t in events if kind == "start"}
+    ends = {i: t for kind, i, t in events if kind == "end"}
+    for i in range(3):
+        assert starts[i + 1] - ends[i] < 0.04  # dispatched immediately
+
+
+def test_paged_prefetch_propagates_page_errors():
+    import pytest
+
+    def page_fn(token):
+        i = int(token) if token else 0
+        if i == 2:
+            raise RuntimeError("page 2 exploded")
+        return pa.table({"id": pa.array([i], pa.int64())}), str(i + 1)
+
+    with pytest.raises(RuntimeError, match="page 2 exploded"):
+        read_paged(page_fn)
