@@ -519,9 +519,20 @@ def _norm(refs, nb):
 # a local rep's members all come from one block (<= block size); a group's
 # global membership lands in hash(rep)'s bucket as int rows.
 
-def _g1_split_groups(block: pa.Table, nb: int, shingle: int):
+def _canon_keys(texts: list[str], key_mode) -> list[str]:
+    """Canonical equivalence key per doc. ``key_mode`` is an int shingle
+    size (canonical shingle SET — the MinHash/Jaccard equivalence: equal
+    sets => identical signatures and identical Jaccard to everything) or
+    the string "multiset" (sorted word MULTISET — the SimHash equivalence:
+    word counts matter, order doesn't)."""
+    if key_mode == "multiset":
+        return [" ".join(sorted(t.split(" "))) for t in texts]
+    return ["\x1f".join(sorted(set(_shingles(t, key_mode)))) for t in texts]
+
+
+def _g1_split_groups(block: pa.Table, nb: int, key_mode):
     """Collapse wave 1 (per corpus block): group the block's docs by
-    canonical shingle-set key (local rep = min doc_id per key). Returns nb
+    canonical key (local rep = min doc_id per key). Returns nb
     HEAD slices (key, rep's text, local_rep) routed by hash(key), then nb
     MEMBER slices (doc_id, local_rep) routed by hash(local_rep)."""
     from ..stages.partition import hash_strings
@@ -535,7 +546,7 @@ def _g1_split_groups(block: pa.Table, nb: int, shingle: int):
         return [empty_h] * nb + [empty_m] * nb
     ids = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = block["text"].to_pylist()
-    keys = ["\x1f".join(sorted(set(_shingles(t, shingle)))) for t in texts]
+    keys = _canon_keys(texts, key_mode)
     df = pd.DataFrame({"doc_id": ids, "key": keys, "text": texts})
     loc = df.groupby("key", sort=False)["doc_id"].transform("min").to_numpy()
     is_head = ids == loc
@@ -622,17 +633,17 @@ def _g4_membership(*slices: pa.Table) -> pa.Table:
          "doc_id": pa.array([], pa.int64())})
 
 
-def _collapse_waves(blocks: list, nb: int, shingle: int):
+def _collapse_waves(blocks: list, nb: int, key_mode):
     """Returns (reps_refs, membership_refs): reps = one (doc_id, text) row
-    per distinct shingle set (min doc_id wins; any member's text is
-    equivalent for signatures/verify since only the set matters);
-    membership_refs[k] = (rep_id, doc_id) rows — NON-rep members only —
-    for hash(rep_id) bucket k."""
+    per distinct canonical key (min doc_id wins; any member's text is
+    equivalent downstream since only the key-equivalence class matters —
+    see ``_canon_keys``); membership_refs[k] = (rep_id, doc_id) rows —
+    NON-rep members only — for hash(rep_id) bucket k."""
     g1_t = ray.remote(num_returns=2 * nb)(_g1_split_groups)
     g2_t = ray.remote(num_returns=1 + nb)(_g2_resolve_groups)
     g3_t = ray.remote(num_returns=nb)(_g3_route_members)
     g4_t = ray.remote(_g4_membership)
-    g1 = [g1_t.remote(b, nb, shingle) for b in blocks]
+    g1 = [g1_t.remote(b, nb, key_mode) for b in blocks]
     heads = [r[:nb] for r in g1]
     members = [r[nb:] for r in g1]
     g2 = [g2_t.remote(nb, *[h[j] for h in heads]) for j in range(nb)]
@@ -667,38 +678,41 @@ def _x1_pair_requests(nb: int, pbucket: int, pairs_tbl: pa.Table):
          for i in _bucket_slices(rb, nb)], nb)
 
 
-def _x2_route_members(nb: int, membership: pa.Table,
+def _x2_route_members(n_pbuckets: int, membership: pa.Table,
                       *req_slices: pa.Table):
     """Expansion wave 2 (per rep bucket): requested reps' member lists
-    routed to the requesting pair buckets."""
+    routed back to the ``n_pbuckets`` requesting pair buckets."""
     empty = pa.table({"rep_id": pa.array([], pa.int64()),
                       "doc_id": pa.array([], pa.int64())})
     reqs = [s.to_pandas() for s in req_slices if s.num_rows]
     if not reqs or membership.num_rows == 0:
-        return _scalar_if_one([empty] * nb, nb)
+        return _scalar_if_one([empty] * n_pbuckets, n_pbuckets)
     req = pd.concat(reqs, ignore_index=True)
     out = req.merge(membership.to_pandas(), on="rep_id", how="inner")
     pb = out["pbucket"].to_numpy()
     t = pa.table({"rep_id": pa.array(out["rep_id"].to_numpy(), pa.int64()),
                   "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
     return _scalar_if_one([t.take(pa.array(i))
-                           for i in _bucket_slices(pb, nb)], nb)
+                           for i in _bucket_slices(pb, n_pbuckets)],
+                          n_pbuckets)
 
 
-def _x3_expand(pairs_tbl: pa.Table, *member_slices: pa.Table) -> pa.Table:
+def _x3_expand(value_col: str, pairs_tbl: pa.Table,
+               *member_slices: pa.Table) -> pa.Table:
     """Expansion wave 3 (per pair bucket): verified REP pairs -> all member
-    pairs (ma, mb) for ma in group(rep_a), mb in group(rep_b), jaccard
-    unchanged (identical shingle sets => identical Jaccard). Fast path:
+    pairs (ma, mb) for ma in group(rep_a), mb in group(rep_b), the value
+    column (jaccard / hamming) unchanged — members are canonically
+    EQUIVALENT to their rep, so the pair metric is identical. Fast path:
     both groups singleton (the overwhelmingly common case) passes rows
     through vectorized."""
     if pairs_tbl.num_rows == 0:
-        return _EMPTY_PAIRS.empty_table()
+        return pairs_tbl
     mem = [s.to_pandas() for s in member_slices if s.num_rows]
     if not mem:
         return pairs_tbl
     a = pairs_tbl["doc_a"].to_numpy(zero_copy_only=False)
     b = pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)
-    j = pairs_tbl["jaccard"].to_numpy(zero_copy_only=False)
+    j = pairs_tbl[value_col].to_numpy(zero_copy_only=False)
     groups = {int(r): g["doc_id"].to_numpy()
               for r, g in pd.concat(mem, ignore_index=True)
               .groupby("rep_id", sort=False)}
@@ -716,23 +730,27 @@ def _x3_expand(pairs_tbl: pa.Table, *member_slices: pa.Table) -> pa.Table:
         xb = np.tile(mb, len(ma))
         out_a.append(np.minimum(xa, xb))
         out_b.append(np.maximum(xa, xb))
-        out_j.append(np.full(len(xa), j[i]))
+        out_j.append(np.full(len(xa), j[i], dtype=j.dtype))
     oa = np.concatenate(out_a).astype(np.int64)
     ob = np.concatenate(out_b).astype(np.int64)
     oj = np.concatenate(out_j)
     order = np.lexsort((ob, oa))
     return pa.table({"doc_a": pa.array(oa[order]),
                      "doc_b": pa.array(ob[order]),
-                     "jaccard": pa.array(oj[order])})
+                     value_col: pa.array(oj[order])})
 
 
-def _x4_intra_pairs(membership: pa.Table) -> pa.Table:
-    """Expansion wave 4 (per rep bucket): within-group pairs at jaccard 1.0
-    (identical shingle sets). A group of k docs intrinsically contributes
-    k(k-1)/2 OUTPUT rows — callers that only need connectivity should use
-    ``neardup_components`` (star edges, linear in k)."""
+def _x4_intra_pairs(membership: pa.Table, value_col: str,
+                    intra_value, value_type: pa.DataType) -> pa.Table:
+    """Expansion wave 4 (per rep bucket): within-group pairs at the
+    equivalence-class metric value (jaccard 1.0 / hamming 0). A group of k
+    docs intrinsically contributes k(k-1)/2 OUTPUT rows — callers that only
+    need connectivity should use ``neardup_components`` (star edges, linear
+    in k)."""
+    empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                       (value_col, value_type)])
     if membership.num_rows == 0:
-        return _EMPTY_PAIRS.empty_table()
+        return empty.empty_table()
     df = membership.to_pandas()
     out_a, out_b = [], []
     for r, g in df.groupby("rep_id", sort=False):
@@ -745,7 +763,32 @@ def _x4_intra_pairs(membership: pa.Table) -> pa.Table:
     order = np.lexsort((ob, oa))
     return pa.table({"doc_a": pa.array(oa[order], pa.int64()),
                      "doc_b": pa.array(ob[order], pa.int64()),
-                     "jaccard": pa.array(np.ones(len(oa)))})
+                     value_col: pa.array(
+                         np.full(len(oa), intra_value)).cast(value_type)})
+
+
+def expand_rep_pairs(pair_refs: list, membership_refs: list, nb: int,
+                     value_col: str = "jaccard", intra_value=1.0,
+                     value_type: pa.DataType = pa.float64()) -> list:
+    """Expand per-bucket verified REP-pair tables back to member pairs via
+    a bucketed membership join (waves x1-x4): returns refs of the expanded
+    cross-group pairs followed by the per-rep-bucket within-group pairs."""
+    npb = len(pair_refs)
+    x1_t = ray.remote(num_returns=nb)(_x1_pair_requests)
+    x2_t = ray.remote(num_returns=npb)(_x2_route_members)
+    x3_t = ray.remote(_x3_expand)
+    x4_t = ray.remote(_x4_intra_pairs)
+    x1 = _norm([x1_t.remote(nb, j, pair_refs[j]) for j in range(npb)], nb) \
+        if npb else []
+    x2 = _norm([x2_t.remote(npb, membership_refs[k],
+                            *[x1[j][k] for j in range(npb)])
+                for k in range(nb)], npb)
+    expanded = [x3_t.remote(value_col, pair_refs[j],
+                            *[x2[k][j] for k in range(nb)])
+                for j in range(npb)]
+    intra = [x4_t.remote(m, value_col, intra_value, value_type)
+             for m in membership_refs]
+    return expanded + intra
 
 
 def _lsh_waves_mat(mat: ray.data.Dataset, nb: int, shingle: int):
@@ -885,18 +928,10 @@ def lsh_verified_pairs(ds: ray.data.Dataset, threshold: float,
                                                  shingle)
     reps = ray.data.from_arrow_refs(reps_refs).materialize()
     out = _verify_waves(reps, nb, shingle, threshold)
-    x1_t = ray.remote(num_returns=nb)(_x1_pair_requests)
-    x2_t = ray.remote(num_returns=nb)(_x2_route_members)
-    x3_t = ray.remote(_x3_expand)
-    x4_t = ray.remote(_x4_intra_pairs)
-    x1 = _norm([x1_t.remote(nb, j, out[j]) for j in range(nb)], nb)
-    x2 = _norm([x2_t.remote(nb, membership_refs[k],
-                            *[x1[j][k] for j in range(nb)])
-                for k in range(nb)], nb)
-    expanded = [x3_t.remote(out[j], *[x2[k][j] for k in range(nb)])
-                for j in range(nb)]
-    intra = [x4_t.remote(m) for m in membership_refs]
-    return ray.data.from_arrow_refs(expanded + intra)
+    return ray.data.from_arrow_refs(
+        expand_rep_pairs(out, membership_refs, nb,
+                         value_col="jaccard", intra_value=1.0,
+                         value_type=pa.float64()))
 
 
 def neardup_components(ds: ray.data.Dataset, threshold: float,

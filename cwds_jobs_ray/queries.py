@@ -1076,16 +1076,22 @@ def events_hopping_window(sf_dir: str):
 
 def simhash_neardup_pairs(sf_dir: str):
     """SimHash near-duplicate PAIRS (the Manku/Jain/Sarma web-dedup shape):
+    word-MULTISET collapse (SimHash is order-independent: equal multisets =>
+    identical signatures, so only one representative per multiset enters
+    the bands — the same mega-duplicate guard the MinHash pipeline has) ->
     64-bit SimHash -> 4x16-bit bands (pigeonhole: Hamming <= 3 implies at
     least one equal band) -> equal-band groups generate candidates with the
     exact Hamming distance computed in-group (each band row carries the full
     64-bit signature — one int, so no join back to the docs is ever needed)
-    -> cross-band dedup by packed-int unique. Two direct bucket exchanges,
-    int rows only. Oracle: golden VALUES from a naive all-pairs evaluator
-    over the independently computed simhash values."""
+    -> cross-band dedup by packed-int unique -> rep pairs re-expanded to
+    member pairs (hamming unchanged cross-group, 0 within). Oracle: golden
+    VALUES from a naive all-pairs evaluator over the independently computed
+    simhash values."""
     import pyarrow.parquet as pq
     from .functions.ann import _popcount64
-    from .functions.dedup import (_doc_bucket, _pair_bucket, sized_n_buckets)
+    from .functions.dedup import (_collapse_waves, _doc_bucket, _pair_bucket,
+                                  _run_pairs, expand_rep_pairs,
+                                  sized_n_buckets)
     from .functions.text import (SIMHASH_MAX_HAMMING, simhash_band_rows)
     from .stages.waves import wave_group_reduce
 
@@ -1115,9 +1121,9 @@ def simhash_neardup_pairs(sf_dir: str):
             a_i.append(two)
             b_i.append(two + 1)
         for s0, ln in zip(starts[lens >= 3], lens[lens >= 3]):
-            ai, bj = np.triu_indices(ln, k=1)
-            a_i.append(s0 + ai)
-            b_i.append(s0 + bj)
+            # chunked generation (bounded temporaries); runs contain only
+            # DISTINCT word multisets thanks to the collapse upstream
+            _run_pairs(np.arange(s0, s0 + ln), a_i, b_i)
         if not a_i:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
@@ -1151,12 +1157,20 @@ def simhash_neardup_pairs(sf_dir: str):
                          "doc_b": pa.array(b[idx]),
                          "hamming": pa.array(ham[idx], pa.int64())})
 
-    rows = ds.map_batches(simhash_band_rows, batch_format="pyarrow",
-                          batch_size=4096)
+    mat = ds.materialize()
+    reps_refs, membership_refs = _collapse_waves(mat.to_arrow_refs(), nb,
+                                                 "multiset")
+    reps = ray.data.from_arrow_refs(reps_refs)
+    rows = reps.map_batches(simhash_band_rows, batch_format="pyarrow",
+                            batch_size=4096)
     cands = wave_group_reduce(rows.map_batches(add_gbucket,
                                                batch_format="pyarrow"),
                               "_gb", nb, pairs_in_groups)
-    return wave_group_reduce(cands, "pbucket", nb, dedup)
+    rep_pairs = wave_group_reduce(cands, "pbucket", nb, dedup)
+    return ray.data.from_arrow_refs(
+        expand_rep_pairs(rep_pairs.to_arrow_refs(), membership_refs, nb,
+                         value_col="hamming", intra_value=0,
+                         value_type=pa.int64()))
 
 
 TOP_NGRAMS_K = 20

@@ -562,3 +562,37 @@ def test_ivf_sample_is_content_hash_deterministic():
     assert len(a) == 64
     # unbiased in the sense of not first-rows: the sample isn't 0..63
     assert a["vec_id"].tolist() != list(range(64))
+
+
+def test_simhash_pairs_mega_duplicate_guard():
+    """simhash_neardup_pairs collapses word-multiset-identical docs before
+    banding: a mega-duplicate group enters the bands once and expands back
+    to member pairs (hamming 0 within, rep hamming across). Verified
+    against a naive all-pairs evaluator."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from cwds_jobs_ray.functions.text import (SIMHASH_MAX_HAMMING,
+                                              simhash_batch)
+    from cwds_jobs_ray.queries import simhash_neardup_pairs
+
+    texts = (["breaking news content syndicated verbatim everywhere now"] * 40
+             + ["verbatim everywhere breaking news syndicated content now"] * 3
+             + [f"totally different filler item {i} xx{i} yy{i}"
+                for i in range(25)])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (simhash_neardup_pairs(d).to_pandas()
+               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    sims = simhash_batch(t)["simhash"].to_numpy(zero_copy_only=False)
+    exp = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = bin(int(sims[i]) ^ int(sims[j])).count("1")
+            if h <= SIMHASH_MAX_HAMMING:
+                exp.append((i, j, h))
+    assert len(exp) >= 40 * 39 // 2  # the mega group alone
+    assert list(map(tuple, got.to_numpy())) == exp
