@@ -50,12 +50,16 @@ def read_paged(page_fn: PageFn, max_pages: int | None = None,
     order (tested)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    tables: list[pa.Table] = []
+    import ray
+
+    # each page goes straight to the object store (spillable) the moment it
+    # arrives — the driver holds O(pages) small refs, never the page bytes
+    refs: list = []
     n = 0
 
     def consume(page: pa.Table) -> None:
         if page.num_rows:
-            tables.append(page)
+            refs.append(ray.put(page))
 
     if not prefetch:
         token: str | None = None
@@ -78,12 +82,9 @@ def read_paged(page_fn: PageFn, max_pages: int | None = None,
                 consume(page)
                 if not more:
                     break
-    if not tables:
+    if not refs:
         return ray.data.from_items([])
-    ds = ray.data.from_arrow(tables[0])
-    for t in tables[1:]:
-        ds = ds.union(ray.data.from_arrow(t))
-    return ds
+    return ray.data.from_arrow_refs(refs)
 
 
 class TransportError(RuntimeError):
