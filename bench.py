@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     # round-2 operators
     "minhash_lsh_dups",
     "asof_join_latest_event",
+    "range_join_followups",
     "sessionize_events",
     "clean_corpus",
     # round-3 paths: raw-task connected components, keyed ANN final,

@@ -640,6 +640,41 @@ def asof_join_latest_event(sf_dir: str):
     return joined.map_batches(project, batch_format="pandas")
 
 
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour in timestamp[us] units
+
+
+def range_join_followups(sf_dir: str):
+    """Keyed BAND join for two LARGE sides (custom operator; Ray Data has
+    none): every pair of events by the same user where the second falls
+    strictly after the first but within one hour — the range-join member of
+    the custom-join family next to the as-of join. One keyed bucket shuffle
+    co-locates both sides; each bucket computes every left row's match
+    window with two vectorized lexsort-rank passes and expands pairs with
+    one repeat/arange (functions/joins.py bucketed_range_join) — never a
+    per-key cross product, nothing broadcast or driver-materialized."""
+    from .functions.joins import bucketed_range_join
+
+    left = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["b_event", "b_user", "b_ts"])
+
+    right = (_read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+             .map_batches(rn, batch_format="pyarrow"))
+    joined = bucketed_range_join(
+        left, right, left_by="user_id", right_by="b_user",
+        left_on="ts", right_on="b_ts",
+        lo=0, hi=RANGE_JOIN_WINDOW_US,
+        lo_inclusive=False, hi_inclusive=True, n_buckets=_agg_buckets())
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"a_event": t["event_id"],
+                         "b_event": t["b_event"],
+                         "user_id": t["user_id"]})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1329,6 +1364,7 @@ QUERIES = {
     "stable_order_head": stable_order_head,
     "union_change_sources": union_change_sources,
     "asof_join_latest_event": asof_join_latest_event,
+    "range_join_followups": range_join_followups,
     "sessionize_events": sessionize_events,
     # training-data operators
     "dedup_exact_text": dedup_exact_text,
@@ -1586,6 +1622,13 @@ ORACLE_SQL.update({
           FROM events e JOIN orders o
             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         SELECT lsn, user_id, o_orderkey, o_orderdate FROM j WHERE rn = 1
+    """,
+    "range_join_followups": """
+        SELECT l.event_id AS a_event, r.event_id AS b_event,
+               l.user_id AS user_id
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id
+         AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
     """,
     "sessionize_events": """
         WITH x AS (

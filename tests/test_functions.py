@@ -498,11 +498,11 @@ def test_collapse_expansion_equals_uncollapsed_on_dup_heavy_corpus():
 
 
 def test_neardup_components_mega_duplicate_corpus():
-    """A mega-duplicate group (30k copies of one text) must cluster in
+    """A mega-duplicate group (100k copies of one text) must cluster in
     linear work: collapsed to ONE banding row + star edges, it never enters
     the quadratic candidate or pair-expansion paths."""
     from cwds_jobs_ray.functions.dedup import neardup_components
-    n_copies = 30_000
+    n_copies = 100_000
     texts = (["the same exact page content repeated everywhere"] * n_copies
              + [f"distinct filler document number {i} qq{i}" for i in range(50)])
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
@@ -596,3 +596,93 @@ def test_simhash_pairs_mega_duplicate_guard():
                 exp.append((i, j, h))
     assert len(exp) >= 40 * 39 // 2  # the mega group alone
     assert list(map(tuple, got.to_numpy())) == exp
+
+
+def _brute_range_join(lf, rf, lo, hi, lo_inc, hi_inc):
+    out = lf.merge(rf, left_on="k", right_on="rk")
+    lo_ok = (out["rt"] >= out["t"] + lo) if lo_inc else (out["rt"] > out["t"] + lo)
+    hi_ok = (out["rt"] <= out["t"] + hi) if hi_inc else (out["rt"] < out["t"] + hi)
+    return (out[lo_ok & hi_ok][["lid", "rid"]]
+            .sort_values(["lid", "rid"]).reset_index(drop=True))
+
+
+def test_bucketed_range_join_matches_brute_force():
+    """bucketed_range_join must equal a brute-force merge+filter across
+    inclusivity variants, with duplicate timestamps present so boundary
+    tie-breaks are exercised."""
+    from cwds_jobs_ray.functions.joins import bucketed_range_join
+    rng = np.random.default_rng(11)
+    n_l, n_r = 1500, 1200
+    # small time domain forces many boundary ties
+    left = pa.table({
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+        "k": pa.array(rng.integers(0, 40, n_l), pa.int64()),
+        "t": pa.array(rng.integers(0, 500, n_l), pa.int64()),
+    })
+    right = pa.table({
+        "rid": pa.array(np.arange(n_r), pa.int64()),
+        "rk": pa.array(rng.integers(0, 40, n_r), pa.int64()),
+        "rt": pa.array(rng.integers(0, 500, n_r), pa.int64()),
+    })
+    lf, rf = left.to_pandas(), right.to_pandas()
+    for lo, hi, lo_inc, hi_inc in [(-10, 10, True, True),
+                                   (0, 25, False, True),
+                                   (-25, 0, True, False),
+                                   (5, 5, True, True)]:
+        got = bucketed_range_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            left_by="k", right_by="rk", left_on="t", right_on="rt",
+            lo=lo, hi=hi, n_buckets=8,
+            lo_inclusive=lo_inc, hi_inclusive=hi_inc).to_pandas()
+        got = (got[["lid", "rid"]].astype("int64")
+               .sort_values(["lid", "rid"]).reset_index(drop=True))
+        exp = _brute_range_join(lf, rf, lo, hi, lo_inc, hi_inc)
+        assert got.equals(exp), (lo, hi, lo_inc, hi_inc)
+
+
+def test_bucketed_range_join_timestamps_and_empty():
+    """Timestamp ON columns join in physical us units; an empty window or
+    an empty side yields a typed empty result."""
+    import pandas as pd
+    from cwds_jobs_ray.functions.joins import bucketed_range_join
+    ts = pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:30:00",
+                         "2026-01-01 02:00:00"]).astype("datetime64[us]")
+    left = pa.table({"lid": pa.array([0, 1, 2], pa.int64()),
+                     "k": pa.array([7, 7, 7], pa.int64()),
+                     "t": pa.array(ts)})
+    right = pa.table({"rid": pa.array([10, 11, 12], pa.int64()),
+                      "rk": pa.array([7, 7, 7], pa.int64()),
+                      "rt": pa.array(ts)})
+    hour = 3_600_000_000
+    got = bucketed_range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        left_by="k", right_by="rk", left_on="t", right_on="rt",
+        lo=0, hi=hour, lo_inclusive=False, hi_inclusive=True,
+        n_buckets=4).to_pandas()
+    pairs = set(map(tuple, got[["lid", "rid"]].astype("int64").to_numpy()))
+    assert pairs == {(0, 11)}  # 00:00 -> 00:30 only; 02:00 is out of window
+    empty = bucketed_range_join(
+        ray.data.from_arrow(left.slice(0, 0)), ray.data.from_arrow(right),
+        left_by="k", right_by="rk", left_on="t", right_on="rt",
+        lo=0, hi=hour, n_buckets=4).to_pandas()
+    assert len(empty) == 0
+
+
+def test_bucketed_range_join_hot_key_cap(monkeypatch):
+    """A hot key whose window pairs exceed the cap raises an actionable
+    error instead of silently materializing the cross product."""
+    from cwds_jobs_ray.functions import joins as jn
+    monkeypatch.setattr(jn, "_RANGE_PAIR_CAP", 100)
+    n = 50  # 50x50 = 2500 pairs in one key/window > 100
+    left = pa.table({"lid": pa.array(np.arange(n), pa.int64()),
+                     "k": pa.array(np.zeros(n), pa.int64()),
+                     "t": pa.array(np.zeros(n), pa.int64())})
+    right = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                      "rk": pa.array(np.zeros(n), pa.int64()),
+                      "rt": pa.array(np.zeros(n), pa.int64())})
+    with pytest.raises(Exception, match="CWDS_RANGE_JOIN_CAP"):
+        jn.bucketed_range_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_by="k", right_by="rk", left_on="t", right_on="rt",
+            lo=-1, hi=1, n_buckets=2).to_pandas()
