@@ -139,7 +139,8 @@ def run_bench() -> dict:
     # not re-run to bound total bench wall time
     qreps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     qtimes = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if not os.environ.get("BENCH_SKIP_QUERIES") \
+            else []:
         best = None
         for _ in range(qreps):
             t0 = time.perf_counter()
@@ -187,7 +188,8 @@ def run_scaling() -> None:
     best: dict[int, dict] = {}
     for _ in range(rounds):
         for n in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_REPS="1")
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_REPS="1",
+                       BENCH_SKIP_QUERIES="1")  # scaling metric = headline
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, check=True,
