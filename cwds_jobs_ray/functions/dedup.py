@@ -323,28 +323,46 @@ def _w1_split_bands(block: pa.Table, nb: int, shingle: int) -> list[pa.Table]:
 # neardup_components which never expands within-group pairs).
 _RUN_PAIR_CAP = int(os.environ.get("CWDS_LSH_RUN_CAP", 50_000_000))
 
-# temporaries bound for big-run pair generation: triu_indices(ln) allocates
-# ln^2 index pairs at once; chunking by source row keeps each temporary to
-# <= _RUN_CHUNK * ln entries while producing the identical pair stream
-_RUN_CHUNK = 4096
+# intermediate-temporary bound for pair expansion: each chunk's index
+# arrays stay around this many entries (beyond the output itself, whose
+# total size is already bounded by _RUN_PAIR_CAP)
+_PAIR_CHUNK = 1 << 23
 
 
-def _run_pairs(ids: np.ndarray, out_a: list, out_b: list) -> None:
-    """All ordered pairs (i<j) of one band run, chunked by source row."""
-    ln = len(ids)
-    if ln <= _RUN_CHUNK:
-        ai, bj = np.triu_indices(ln, k=1)
-        out_a.append(ids[ai])
-        out_b.append(ids[bj])
-        return
-    for i0 in range(0, ln - 1, _RUN_CHUNK):
-        ii = np.arange(i0, min(i0 + _RUN_CHUNK, ln - 1))
-        cnt = ln - 1 - ii
-        ai = np.repeat(ii, cnt)
-        bj = (np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-              + ai + 1)
-        out_a.append(ids[ai])
-        out_b.append(ids[bj])
+def _all_run_pairs(starts: np.ndarray, lens: np.ndarray, n: int):
+    """All (i, j) global index pairs with i < j inside each run, where runs
+    are delimited by ``starts``/``lens`` over ``n`` sorted rows.
+
+    One vectorized pass over EVERY run at once: each source row pairs with
+    the rows after it in its run, so no per-run Python loop and no O(L^2)
+    triu masks (np.triu_indices builds an LxL mask per run — measured 2.3 s
+    of a 2.6 s straggler task at sf0.1). Source rows are chunked so
+    intermediate temporaries stay around ``_PAIR_CHUNK`` entries."""
+    z = np.empty(0, np.int64)
+    if n == 0 or len(lens) == 0:
+        return z, z
+    run_id = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(n, dtype=np.int64) - starts[run_id]
+    rem = lens[run_id].astype(np.int64) - 1 - pos  # targets after each row
+    cum = np.cumsum(rem)
+    out_a, out_b = [], []
+    row = 0
+    while row < n:
+        base = int(cum[row - 1]) if row else 0
+        end = int(np.searchsorted(cum, base + _PAIR_CHUNK, side="left")) + 1
+        end = min(max(end, row + 1), n)
+        r = rem[row:end]
+        tot = int(r.sum())
+        if tot:
+            ia = np.repeat(np.arange(row, end, dtype=np.int64), r)
+            off = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(r) - r, r) + 1)
+            out_a.append(ia)
+            out_b.append(ia + off)
+        row = end
+    if not out_a:
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
@@ -352,11 +370,9 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
     identical (band, band_hash) group), deduped within the task, partitioned
     by pair bucket.
 
-    Run detection is one lexsort; the overwhelmingly common 2-doc runs
-    (realistic corpora have few true near-dups) generate their single pair
-    fully vectorized, and only runs of >= 3 docs — rare outside degenerate
-    corpora — take the per-run chunked loop. Total pair volume for the task
-    is capped at ``_RUN_PAIR_CAP`` (see above)."""
+    Run detection is one lexsort; pair expansion is one vectorized pass
+    over all runs at once (``_all_run_pairs``). Total pair volume for the
+    task is capped at ``_RUN_PAIR_CAP`` (see above)."""
     parts = [s.to_pandas() for s in slices if s.num_rows]
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64())})
@@ -380,17 +396,11 @@ def _w2_band_pairs(nb: int, *slices: pa.Table) -> list[pa.Table]:
             "pathologically self-similar at this shingle size. Raise "
             "shingle/threshold, or use neardup_components for clustering "
             "(it never expands within-group pairs).")
-    out_a, out_b = [], []
-    two = starts[lens == 2]
-    if len(two):
-        out_a.append(doc[two])
-        out_b.append(doc[two + 1])
-    for s0, ln in zip(starts[lens >= 3], lens[lens >= 3]):
-        # ids sorted, unique (one row per doc per band)
-        _run_pairs(doc[s0:s0 + ln], out_a, out_b)
-    if not out_a:
+    ia, ib = _all_run_pairs(starts, lens, len(doc))
+    if not len(ia):
         return _scalar_if_one([empty] * nb, nb)
-    da, db_ = _unique_pairs(np.concatenate(out_a), np.concatenate(out_b))
+    # ids sorted, unique within a run (one row per doc per band)
+    da, db_ = _unique_pairs(doc[ia], doc[ib])
     pb = _pair_bucket(da, db_, nb)
     return _scalar_if_one(
         [pa.table({"doc_a": pa.array(da[idx]), "doc_b": pa.array(db_[idx])})

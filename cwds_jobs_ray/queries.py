@@ -1142,9 +1142,9 @@ def simhash_neardup_pairs(sf_dir: str):
     simhash values."""
     import pyarrow.parquet as pq
     from .functions.ann import _popcount64
-    from .functions.dedup import (_collapse_waves, _doc_bucket, _pair_bucket,
-                                  _run_pairs, expand_rep_pairs,
-                                  sized_n_buckets)
+    from .functions.dedup import (_all_run_pairs, _collapse_waves,
+                                  _doc_bucket, _pair_bucket,
+                                  expand_rep_pairs, sized_n_buckets)
     from .functions.text import (SIMHASH_MAX_HAMMING, simhash_band_rows)
     from .stages.waves import wave_group_reduce
 
@@ -1168,22 +1168,15 @@ def simhash_neardup_pairs(sf_dir: str):
         new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
         starts = np.flatnonzero(new_run)
         lens = np.diff(np.append(starts, len(doc)))
-        a_i, b_i = [], []
-        two = starts[lens == 2]
-        if len(two):
-            a_i.append(two)
-            b_i.append(two + 1)
-        for s0, ln in zip(starts[lens >= 3], lens[lens >= 3]):
-            # chunked generation (bounded temporaries); runs contain only
-            # DISTINCT word multisets thanks to the collapse upstream
-            _run_pairs(np.arange(s0, s0 + ln), a_i, b_i)
-        if not a_i:
+        # one vectorized pass over all runs (bounded temporaries); runs
+        # contain only DISTINCT word multisets thanks to the collapse
+        # upstream
+        ia, ib = _all_run_pairs(starts, lens, len(doc))
+        if not len(ia):
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64()),
                              "pbucket": pa.array([], pa.int64())})
-        ia = np.concatenate(a_i)
-        ib = np.concatenate(b_i)
         ham = _popcount64(sim[ia].view(np.uint64) ^ sim[ib].view(np.uint64))
         keep = ham <= SIMHASH_MAX_HAMMING
         a, b, ham = doc[ia[keep]], doc[ib[keep]], ham[keep]

@@ -514,21 +514,27 @@ def test_neardup_components_mega_duplicate_corpus():
     assert (mega["cluster_id"] == 0).all()
 
 
-def test_run_pairs_chunked_equals_triu(monkeypatch):
-    """Chunked big-run pair generation must equal the one-shot triu."""
+def test_all_run_pairs_equals_triu(monkeypatch):
+    """Vectorized all-runs pair expansion must equal per-run triu pairs,
+    including across chunk boundaries and runs of length 1/2/big."""
     from cwds_jobs_ray.functions import dedup as dd
-    ids = np.arange(100, 157, dtype=np.int64)
-    a1, b1 = [], []
-    dd._run_pairs(ids, a1, b1)
-    monkeypatch.setattr(dd, "_RUN_CHUNK", 7)
-    a2, b2 = [], []
-    dd._run_pairs(ids, a2, b2)
-    p1 = set(zip(np.concatenate(a1), np.concatenate(b1)))
-    p2 = set(zip(np.concatenate(a2), np.concatenate(b2)))
-    n = len(ids)
-    assert p1 == p2
-    assert len(p2) == n * (n - 1) // 2
-    assert all(x < y for x, y in p2)
+    lens = np.array([1, 2, 5, 1, 13, 3, 1, 1, 7, 2], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n = int(lens.sum())
+    expect = set()
+    for s0, ln in zip(starts, lens):
+        ai, bj = np.triu_indices(int(ln), k=1)
+        expect |= set(zip((ai + s0).tolist(), (bj + s0).tolist()))
+    for chunk in (1 << 23, 5, 1):
+        monkeypatch.setattr(dd, "_PAIR_CHUNK", chunk)
+        ia, ib = dd._all_run_pairs(starts, lens, n)
+        got = set(zip(ia.tolist(), ib.tolist()))
+        assert got == expect, f"chunk={chunk}"
+        assert len(ia) == len(expect)  # no duplicates emitted
+        assert (ia < ib).all()
+    # empty input
+    z0, z1 = dd._all_run_pairs(np.empty(0, np.int64), np.empty(0, np.int64), 0)
+    assert len(z0) == 0 and len(z1) == 0
 
 
 def test_windowed_submit_bounds_in_flight():
