@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "simhash_fingerprint",
     "top_ngrams",
     "simhash_neardup_pairs",
+    # round-4 operators: sort-free selection, per-key analytic windows
+    "exact_quantiles_price",
+    "window_running_agg",
 ]
 
 

@@ -550,6 +550,74 @@ def value_histogram(sf_dir: str):
     return _tree_agg(ds, partial, final, bucket_on="bin")
 
 
+QUANTILE_PROBS = (0.25, 0.5, 0.9, 0.99)
+
+
+def exact_quantiles_price(sf_dir: str):
+    """Exact order statistics of l_extendedprice WITHOUT a global sort:
+    histogram-refinement selection (functions/stats.py) — log_nbins(n)
+    streaming counting scans whose shuffle payload is (rank, bin, n) int
+    rows, then one bounded filter-collect. min/max/row-count come free
+    from the parquet footer. PERCENTILE_DISC semantics: the element at
+    1-based rank ceil(p*n), bit-identical to DuckDB quantile_disc."""
+    import pyarrow.parquet as pq
+
+    from .functions.stats import exact_quantiles
+
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    md = pf.metadata
+    ci = pf.schema_arrow.get_field_index("l_extendedprice")
+    lo = min(md.row_group(i).column(ci).statistics.min
+             for i in range(md.num_row_groups))
+    hi = max(md.row_group(i).column(ci).statistics.max
+             for i in range(md.num_row_groups))
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    q = exact_quantiles(ds, "l_extendedprice", QUANTILE_PROBS,
+                        lo=lo, hi=hi, n=md.num_rows)
+    return pa.table({f"p{int(p * 100)}": pa.array([q[p]], pa.float64())
+                     for p in QUANTILE_PROBS})
+
+
+def window_running_agg(sf_dir: str):
+    """Per-key window functions (row_number / running sum / lag delta) —
+    the per-row analytic family, distinct from the tumbling/hopping
+    AGGREGATE windows. Keys hash into coarse buckets (one keyed exchange,
+    same shape as the sessionizer); each bucket computes every user's
+    windows in one vectorized pass (sort + grouped cumsum/diff). Running
+    sums accumulate in integer cents (floor(value*100)) so the result is
+    bit-exact against the SQL window oracle regardless of float summation
+    order."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    nb = _row_sized_buckets(sf_dir, "events")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def windows_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                      kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        g["rn"] = grp.cumcount() + 1
+        cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
+        g["run_cents"] = pd.Series(cents, index=g.index) \
+            .groupby(g["user_id"], sort=False).cumsum()
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        delta = ts_us.groupby(g["user_id"], sort=False).diff()
+        g["delta_us"] = delta.fillna(0).astype("int64")
+        return _pa_from_pandas(
+            g[["event_id", "user_id", "rn", "run_cents", "delta_us"]],
+            preserve_index=False)
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, windows_bucket)
+
+
 def events_window_agg(sf_dir: str):
     """Tumbling event-time window (streaming concern §2.9): per (user, day)
     count + sum. Partial per block, then a small groupby — window results
@@ -1370,6 +1438,8 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "value_histogram": value_histogram,
     "count_consumed": count_consumed,
+    "exact_quantiles_price": exact_quantiles_price,
+    "window_running_agg": window_running_agg,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -1511,6 +1581,24 @@ ORACLE_SQL = {
         FROM events GROUP BY 1
     """,
     "count_consumed": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "exact_quantiles_price": """
+        SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
+               quantile_disc(l_extendedprice, 0.50) AS p50,
+               quantile_disc(l_extendedprice, 0.90) AS p90,
+               quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM lineitem
+    """,
+    "window_running_agg": """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS run_cents,
+               COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, 0)
+                   AS delta_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
     "events_window_agg": """
         SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS sum_value

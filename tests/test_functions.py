@@ -692,3 +692,43 @@ def test_bucketed_range_join_hot_key_cap(monkeypatch):
             ray.data.from_arrow(left), ray.data.from_arrow(right),
             left_by="k", right_by="rk", left_on="t", right_on="rt",
             lo=-1, hi=1, n_buckets=2).to_pandas()
+
+
+def test_exact_quantiles_refinement_matches_numpy():
+    """Histogram-refinement selection must equal rank-ceil(p*n) selection
+    on sorted values, with the driver budget forcing multiple rounds, on a
+    skewed corpus with heavy duplicates."""
+    import math
+
+    from cwds_jobs_ray.functions.stats import exact_quantiles
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 1.5, 20_000),         # skewed tail
+        np.full(5_000, 42.0),                    # mega-duplicate
+        rng.uniform(-100, 0, 5_000),             # negatives
+    ])
+    probs = (0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = exact_quantiles(ds, "x", probs,
+                          lo=float(vals.min()), hi=float(vals.max()),
+                          n=len(vals), nbins=16, driver_budget=500)
+    s = np.sort(vals)
+    for p in probs:
+        k = min(max(1, math.ceil(p * len(vals))), len(vals))
+        assert got[p] == s[k - 1], p
+
+
+def test_exact_quantiles_all_equal_and_empty():
+    """Width-underflow guard: an all-equal column can't be subdivided and
+    must fall back to the bounded (value, count) collect; empty input
+    returns NaNs."""
+    from cwds_jobs_ray.functions.stats import exact_quantiles
+    t = pa.table({"x": pa.array(np.full(10_000, 3.14), pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = exact_quantiles(ds, "x", (0.5,), lo=3.14, hi=3.14, n=10_000,
+                          nbins=16, driver_budget=100)
+    assert got[0.5] == 3.14
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    out = exact_quantiles(empty, "x", (0.5,), lo=0.0, hi=0.0, n=0)
+    assert np.isnan(out[0.5])
