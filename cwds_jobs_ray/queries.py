@@ -618,6 +618,82 @@ def window_running_agg(sf_dir: str):
         "_bucket", nb, windows_bucket)
 
 
+def json_extract_props(sf_dir: str):
+    """JSON field extraction from the event envelope (the CDC-payload
+    shape: a serialized props document per change row). Flat-key fast
+    path: one vectorized Arrow regex kernel per batch — no per-row Python
+    json.loads in the hot path (nested payloads would parse inside the
+    same batch fn). Null when the key is absent."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def pivot_revenue(sf_dir: str):
+    """Pivot / crosstab: revenue (integer cents, exact) by line status x
+    return flag, wide output. Per-block vectorized partial over the
+    (status, flag) pairs, one bounded final (the pivoted key space is
+    enumerable) that spreads flags into columns."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.floor(
+            df.pop("l_extendedprice").to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby(["l_linestatus", "l_returnflag"], sort=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")).reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(
+            ["l_linestatus", "l_returnflag"], sort=False).sum().reset_index()
+        wide = df.pivot_table(index="l_linestatus", columns="l_returnflag",
+                              values="cents", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({
+            "l_linestatus": wide.index,
+            **{f"{f.lower()}_cents": wide.get(f, pd.Series(0, wide.index))
+               .astype("int64").to_numpy() for f in ("A", "N", "R")},
+            "n_rows": df.groupby("l_linestatus", sort=False)["n"].sum()
+            .reindex(wide.index).astype("int64").to_numpy(),
+        })
+        return _pa_from_pandas(out, preserve_index=False)
+
+    return _tree_agg(ds, partial, final)
+
+
+GROUPED_TOPK = 3
+
+
+def grouped_topk_events(sf_dir: str):
+    """Per-GROUP top-k (sort+truncate per key, not global): highest-value
+    events per event_type. Top-k is a semilattice, so each block keeps at
+    most k rows per group and the final merges partial winners — shuffle
+    volume is k x groups x blocks, never the table."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="stable")
+        return df.groupby("event_type", sort=False).head(GROUPED_TOPK)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _pa_from_pandas(topk(t.to_pandas()), preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = topk(t.to_pandas())
+        df["rk"] = df.groupby("event_type", sort=False).cumcount() + 1
+        return _pa_from_pandas(df, preserve_index=False)
+
+    return _tree_agg(ds, partial, final)
+
+
 def events_window_agg(sf_dir: str):
     """Tumbling event-time window (streaming concern §2.9): per (user, day)
     count + sum. Partial per block, then a small groupby — window results
@@ -1440,6 +1516,9 @@ QUERIES = {
     "count_consumed": count_consumed,
     "exact_quantiles_price": exact_quantiles_price,
     "window_running_agg": window_running_agg,
+    "json_extract_props": json_extract_props,
+    "pivot_revenue": pivot_revenue,
+    "grouped_topk_events": grouped_topk_events,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -1598,6 +1677,32 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
+    """,
+    "json_extract_props": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    "pivot_revenue": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS a_cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS n_cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS r_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    """,
+    "grouped_topk_events": """
+        SELECT event_id, event_type, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS BIGINT) AS rk
+        FROM events
+        QUALIFY rk <= 3
     """,
     "events_window_agg": """
         SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n,
