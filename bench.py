@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     # round-4 operators: sort-free selection, per-key analytic windows
     "exact_quantiles_price",
     "window_running_agg",
+    "semi_anti_join_orders",
 ]
 
 

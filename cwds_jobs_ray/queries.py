@@ -694,6 +694,52 @@ def grouped_topk_events(sf_dir: str):
     return _tree_agg(ds, partial, final)
 
 
+def semi_anti_join_orders(sf_dir: str):
+    """Semi/anti join as a first-class operator: flag each order by whether
+    it has a returned ('R') lineitem. Only KEYS cross the wire: the probe
+    side pre-distincts returned orderkeys per block, both sides hash into a
+    shared bucket space (one int-only exchange), and each bucket flags its
+    orders with one vectorized isin — the build side is never broadcast and
+    the rows themselves never move."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    nb = _row_sized_buckets(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    returned = _read(sf_dir, "lineitem", columns=["l_orderkey",
+                                                  "l_returnflag"])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "side": pa.array(np.zeros(len(k), np.int8)),
+                         "_bucket": pa.array(_int_bucket(k, nb))})
+
+    def probe_side(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        k = np.unique(k[np.asarray(t["l_returnflag"]) == "R"])
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "o_orderpriority": pa.nulls(len(k), pa.string()),
+                         "side": pa.array(np.ones(len(k), np.int8)),
+                         "_bucket": pa.array(_int_bucket(k, nb))})
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        returned.map_batches(probe_side, batch_format="pyarrow"))
+
+    def flag_bucket(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        hit = np.isin(key[side == 0], np.unique(key[side == 1]))
+        return pa.table({
+            "o_orderkey": pa.array(key[side == 0], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"].filter(
+                pa.array(side == 0)),
+            "has_return": pa.array(hit)})
+
+    return wave_group_reduce(both, "_bucket", nb, flag_bucket)
+
+
 def events_window_agg(sf_dir: str):
     """Tumbling event-time window (streaming concern §2.9): per (user, day)
     count + sum. Partial per block, then a small groupby — window results
@@ -1519,6 +1565,7 @@ QUERIES = {
     "json_extract_props": json_extract_props,
     "pivot_revenue": pivot_revenue,
     "grouped_topk_events": grouped_topk_events,
+    "semi_anti_join_orders": semi_anti_join_orders,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -1703,6 +1750,12 @@ ORACLE_SQL = {
                     ORDER BY value DESC, event_id) AS BIGINT) AS rk
         FROM events
         QUALIFY rk <= 3
+    """,
+    "semi_anti_join_orders": """
+        SELECT o_orderkey, o_orderpriority,
+               o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              WHERE l_returnflag = 'R') AS has_return
+        FROM orders
     """,
     "events_window_agg": """
         SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n,
