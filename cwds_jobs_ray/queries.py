@@ -668,6 +668,41 @@ def pivot_revenue(sf_dir: str):
     return _tree_agg(ds, partial, final)
 
 
+def rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets): revenue cents + row counts at
+    (flag, status), (flag), and () levels. One scan computes the finest
+    partials per block; the bounded final derives every coarser level by
+    re-aggregating them — subtotals never rescan the table."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.floor(
+            df.pop("l_extendedprice").to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")).reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        fine = t.to_pandas().groupby(
+            ["l_returnflag", "l_linestatus"], sort=False).sum().reset_index()
+        by_flag = fine.groupby("l_returnflag", sort=False)[["cents", "n"]] \
+            .sum().reset_index()
+        by_flag["l_linestatus"] = None
+        total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                              "cents": [fine["cents"].sum()],
+                              "n": [fine["n"].sum()]})
+        out = pd.concat([fine, by_flag, total], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["cents"] = out["cents"].astype("int64")
+        return _pa_from_pandas(
+            out[["l_returnflag", "l_linestatus", "cents", "n"]],
+            preserve_index=False)
+
+    return _tree_agg(ds, partial, final)
+
+
 GROUPED_TOPK = 3
 
 
@@ -1566,6 +1601,7 @@ QUERIES = {
     "pivot_revenue": pivot_revenue,
     "grouped_topk_events": grouped_topk_events,
     "semi_anti_join_orders": semi_anti_join_orders,
+    "rollup_revenue": rollup_revenue,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -1750,6 +1786,14 @@ ORACLE_SQL = {
                     ORDER BY value DESC, event_id) AS BIGINT) AS rk
         FROM events
         QUALIFY rk <= 3
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "semi_anti_join_orders": """
         SELECT o_orderkey, o_orderpriority,
