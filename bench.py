@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "exact_quantiles_price",
     "window_running_agg",
     "semi_anti_join_orders",
+    "heavy_hitter_users",
+    "bloom_semi_join_orders",
 ]
 
 

@@ -526,6 +526,156 @@ def approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "user_id")
 
 
+HH_PHI_DEN = 2000  # heavy hitter = key with count > total_rows / HH_PHI_DEN
+
+
+def heavy_hitter_users(sf_dir: str):
+    """EXACT frequent-items via the two-scan sketch pattern: (1) a
+    Misra-Gries sketch pass (functions/sketch.py) whose merged summary is a
+    guaranteed SUPERSET of every key with count > n/HH_PHI_DEN — the
+    summary is <= k rows per block and <= k rows total, so the key universe
+    never shuffles; (2) the <= k candidates broadcast once via ``ray.put``
+    and counted exactly in a second linear scan (per-block partial counts
+    of candidates only -> keyed wave final). No groupby over all keys ever
+    runs: at 100 TB with a zipf key universe the sketch pass is the only
+    full read and carries O(k) rows per block. Candidate verification makes
+    the Bloom/MG false positives exact — same discipline as the LSH
+    verify stages. Total row count comes from the parquet footers (exact,
+    no scan)."""
+    import pyarrow.parquet as pq
+
+    from .functions.sketch import mg_candidates
+    total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    min_count = total / HH_PHI_DEN
+    k = max(64, 4 * HH_PHI_DEN)
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    cand = mg_candidates(ds, "user_id", k, total, min_count)
+    cref = ray.put(cand)
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = t["user_id"].to_numpy(zero_copy_only=False)
+        v = v[np.isin(v, c)]
+        keys, cnts = np.unique(v, return_counts=True)
+        return pa.table({"user_id": pa.array(keys, pa.int64()),
+                         "n_events": pa.array(cnts.astype(np.int64))})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("user_id", sort=False)["n_events"] \
+            .sum().reset_index()
+        g = g[g["n_events"].to_numpy() * HH_PHI_DEN > total]
+        return pa.table({"user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                         "n_events": pa.array(
+                             g["n_events"].to_numpy(np.int64))})
+
+    return _tree_agg(ds, count_cands, final, bucket_on="user_id")
+
+
+def distinct_users_by_type(sf_dir: str):
+    """COUNT(DISTINCT key) per group — the two-level exact shape: blocks
+    pre-distinct their (group, key) pairs (bounds the exchange to distinct
+    pairs per block, not rows), pairs exchange into hash(key) buckets where
+    global dedup is local (a key never spans buckets, so per-bucket
+    per-group distinct counts add), and a single tiny final sums the
+    per-bucket counts per group."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    nb = _agg_buckets()
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        u = df["user_id"].to_numpy(np.int64)
+        return pa.table({"event_type": pa.array(df["event_type"].tolist(),
+                                                pa.string()),
+                         "user_id": pa.array(u),
+                         "_bucket": pa.array(_int_bucket(u, nb))})
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().drop_duplicates(["event_type", "user_id"]) \
+            .groupby("event_type", sort=False).size().reset_index(name="n")
+        return pa.table({"event_type": pa.array(g["event_type"].tolist(),
+                                                pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    per_bucket = wave_group_reduce(
+        ds.map_batches(pairs, batch_format="pyarrow"), "_bucket", nb,
+        bucket_counts)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("event_type", sort=False)["n"] \
+            .sum().reset_index(name="n_users")
+        return pa.table({"event_type": pa.array(g["event_type"].tolist(),
+                                                pa.string()),
+                         "n_users": pa.array(g["n_users"].to_numpy(np.int64))})
+
+    return per_bucket.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+
+
+def bloom_semi_join_orders(sf_dir: str):
+    """Semi join with Bloom pre-pruning — the broadcast-filter join shape
+    for a selective build side at 100 TB: the build side (returned
+    orderkeys) folds into a fixed-size Bloom filter (per-block byte rows,
+    OR-merge tree, functions/sketch.py), the filter broadcasts once via
+    ``ray.put``, and probe blocks drop non-matching rows BEFORE the keyed
+    exchange — only survivors (true matches + ~1% false positives) shuffle
+    into the exact verify, so the wire cost tracks the match count, not the
+    probe size. The verify exchange (same int-only wave shape as
+    ``semi_anti_join_orders``) makes false positives exact."""
+    from .functions.joins import _int_bucket
+    from .functions.sketch import (bloom_build, bloom_contains,
+                                   bloom_params)
+    from .stages.waves import wave_group_reduce
+
+    import pyarrow.parquet as pq
+    n_build_est = pq.ParquetFile(f"{sf_dir}/lineitem.parquet") \
+        .metadata.num_rows
+    m_bits, n_hashes = bloom_params(n_build_est)
+
+    build = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"],
+                  filter=pc.field("l_returnflag") == "R") \
+        .select_columns(["l_orderkey"])
+    bloom = bloom_build(build, "l_orderkey", m_bits, n_hashes)
+    bref = ray.put(bloom)
+
+    nb = _row_sized_buckets(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def probe_prune(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)  # zero-copy from the local object store
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(bloom_contains(b, k, n_hashes)))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": t["o_orderkey"],
+                         "o_totalprice": t["o_totalprice"],
+                         "side": pa.array(np.zeros(len(k), np.int8)),
+                         "_bucket": pa.array(_int_bucket(k, nb))})
+
+    def build_side(t: pa.Table) -> pa.Table:
+        k = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "o_totalprice": pa.nulls(len(k), pa.float64()),
+                         "side": pa.array(np.ones(len(k), np.int8)),
+                         "_bucket": pa.array(_int_bucket(k, nb))})
+
+    both = orders.map_batches(probe_prune, batch_format="pyarrow").union(
+        build.map_batches(build_side, batch_format="pyarrow"))
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        probe = side == 0
+        hit = np.isin(key[probe], np.unique(key[~probe]))
+        price = t["o_totalprice"].filter(pa.array(probe))
+        return pa.table({
+            "o_orderkey": pa.array(key[probe][hit], pa.int64()),
+            "o_totalprice": price.filter(pa.array(hit))})
+
+    return wave_group_reduce(both, "_bucket", nb, verify_bucket)
+
+
 HIST_BIN_WIDTH = 5.0
 
 
@@ -1602,6 +1752,9 @@ QUERIES = {
     "grouped_topk_events": grouped_topk_events,
     "semi_anti_join_orders": semi_anti_join_orders,
     "rollup_revenue": rollup_revenue,
+    "heavy_hitter_users": heavy_hitter_users,
+    "distinct_users_by_type": distinct_users_by_type,
+    "bloom_semi_join_orders": bloom_semi_join_orders,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -1794,6 +1947,23 @@ ORACLE_SQL = {
                COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "heavy_hitter_users": f"""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) * {HH_PHI_DEN} > (SELECT COUNT(*) FROM events)
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    "bloom_semi_join_orders": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')
     """,
     "semi_anti_join_orders": """
         SELECT o_orderkey, o_orderpriority,

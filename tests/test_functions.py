@@ -732,3 +732,78 @@ def test_exact_quantiles_all_equal_and_empty():
     empty = ray.data.from_arrow(t.slice(0, 0))
     out = exact_quantiles(empty, "x", (0.5,), lo=0.0, hi=0.0, n=0)
     assert np.isnan(out[0.5])
+
+
+def test_misra_gries_candidates_superset_and_bounded():
+    """Sketch pass of the exact heavy-hitters pattern: on a zipf stream
+    whose distinct-key count far exceeds k (so every block and the merge
+    genuinely compress), the candidate set must contain EVERY true heavy
+    key and stay <= k entries."""
+    from cwds_jobs_ray.functions.sketch import mg_candidates
+    rng = np.random.default_rng(7)
+    # zipf-ish: key j appears ~ 200_000 / (j+1) times, 3000 distinct keys
+    reps = (200_000 / np.arange(1, 3001)).astype(np.int64)
+    vals = np.repeat(np.arange(3000, dtype=np.int64), reps)
+    rng.shuffle(vals)
+    n = len(vals)
+    k = 256  # << 3000 distinct: per-block and merge compression both fire
+    phi_count = n / 500.0
+    ds = ray.data.from_arrow(
+        pa.table({"key": pa.array(vals)})).repartition(16)
+    cand = mg_candidates(ds, "key", k, n, phi_count)
+    assert len(cand) <= k
+    true_counts = np.bincount(vals)
+    true_heavy = np.flatnonzero(true_counts > phi_count)
+    assert np.isin(true_heavy, cand).all()
+
+
+def test_misra_gries_merge_lower_bound_property():
+    """Merged summary counts are lower bounds within n/(k+1) of truth —
+    the mergeable-summaries guarantee the candidate cut relies on."""
+    from cwds_jobs_ray.functions.sketch import mg_merge, mg_partial
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 500, 50_000).astype(np.int64)
+    k = 64
+    parts = [mg_partial(pa.table({"v": pa.array(b)}), "v", k)
+             for b in np.array_split(vals, 13)]
+    merged = mg_merge(pa.concat_tables(parts), k)
+    true = np.bincount(vals, minlength=500)
+    got = dict(zip(merged["key"].to_pylist(), merged["cnt"].to_pylist()))
+    eps = len(vals) / (k + 1)
+    for key in range(500):
+        lb = got.get(key, 0)
+        assert lb <= true[key]
+        assert true[key] - lb <= eps
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    """Membership pruning contract: every inserted key hits (no false
+    negatives, ever); false-positive rate on disjoint keys stays near the
+    10-bits/key design point (~1%, asserted < 5%)."""
+    from cwds_jobs_ray.functions.sketch import (bloom_build, bloom_contains,
+                                                bloom_params)
+    rng = np.random.default_rng(3)
+    keys = rng.choice(10_000_000, 20_000, replace=False).astype(np.int64)
+    m_bits, n_hashes = bloom_params(len(keys))
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys)})).repartition(8)
+    bloom = bloom_build(ds, "k", m_bits, n_hashes)
+    assert bloom_contains(bloom, keys, n_hashes).all()
+    others = np.setdiff1d(
+        rng.choice(10_000_000, 40_000, replace=False).astype(np.int64), keys)
+    fp = bloom_contains(bloom, others, n_hashes).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_or_merge_order_independent():
+    """Partial filters OR-merge to the same bytes under any grouping /
+    ordering — the property that makes the build tree shape-free."""
+    from cwds_jobs_ray.functions.sketch import bloom_or, bloom_partial
+    rng = np.random.default_rng(5)
+    blocks = [rng.integers(0, 1 << 40, 1000).astype(np.int64)
+              for _ in range(6)]
+    parts = [bloom_partial(b, 1 << 14, 3) for b in blocks]
+    a = bloom_or(parts)
+    b = bloom_or([bloom_or(parts[:2]), bloom_or(parts[2:5]), parts[5]])
+    c = bloom_or(list(reversed(parts)))
+    assert a == b == c
