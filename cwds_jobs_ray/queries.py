@@ -676,6 +676,63 @@ def bloom_semi_join_orders(sf_dir: str):
     return wave_group_reduce(both, "_bucket", nb, verify_bucket)
 
 
+def stats_moments_by_group(sf_dir: str):
+    """Per-group statistics (mean / sample stddev / Pearson correlation)
+    via EXACT integer moment sums — the mergeable-moments shape: each block
+    emits per-group (n, Sx, Sxx, Sy, Syy, Sxy) int64 partials (six numbers
+    per group per block, additive under any merge tree, no precision drift
+    from summation order), and the bounded final does the one float
+    computation per group from exact Python ints. The oracle SQL computes
+    the SAME formulas from the same exact integer sums (HUGEINT there), so
+    both sides make identical IEEE ops on identical integers — bit-equal
+    doubles with no rounding fudge. Quantity is integral and discount is an
+    exact multiple of 0.01 in this schema; the basis-point recode keeps the
+    moments integer."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        agg = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                            "n": 1, "sq": q, "sqq": q * q,
+                            "sd": d, "sdd": d * d, "sqd": q * d}) \
+            .groupby("l_returnflag", sort=False).sum().reset_index()
+        return _pa_from_pandas(agg, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        import math
+        g = t.to_pandas().groupby("l_returnflag", sort=False).sum() \
+            .reset_index()
+        rows = {"l_returnflag": [], "n": [], "mean_qty": [],
+                "stddev_qty": [], "corr_qty_disc": []}
+        for r in g.itertuples(index=False):
+            # Python ints: the cross products exceed int64 at scale
+            n, sq, sqq = int(r.n), int(r.sq), int(r.sqq)
+            sd, sdd, sqd = int(r.sd), int(r.sdd), int(r.sqd)
+            vq = n * sqq - sq * sq
+            vd = n * sdd - sd * sd
+            rows["l_returnflag"].append(r.l_returnflag)
+            rows["n"].append(n)
+            rows["mean_qty"].append(float(sq) / float(n))
+            rows["stddev_qty"].append(
+                math.sqrt(float(vq) / float(n * (n - 1))))
+            rows["corr_qty_disc"].append(
+                float(n * sqd - sq * sd) / math.sqrt(float(vq * vd)))
+        return pa.table({"l_returnflag": pa.array(rows["l_returnflag"],
+                                                  pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "mean_qty": pa.array(rows["mean_qty"], pa.float64()),
+                         "stddev_qty": pa.array(rows["stddev_qty"],
+                                                pa.float64()),
+                         "corr_qty_disc": pa.array(rows["corr_qty_disc"],
+                                                   pa.float64())})
+
+    return _tree_agg(ds, partial, final)
+
+
 HIST_BIN_WIDTH = 5.0
 
 
@@ -1755,6 +1812,7 @@ QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "distinct_users_by_type": distinct_users_by_type,
     "bloom_semi_join_orders": bloom_semi_join_orders,
+    "stats_moments_by_group": stats_moments_by_group,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -1964,6 +2022,29 @@ ORACLE_SQL = {
         FROM orders
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                              WHERE l_returnflag = 'R')
+    """,
+    "stats_moments_by_group": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sq,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS sqq,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sd,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sdd,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sqd
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+               SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+               CAST(n * sqd - sq * sd AS DOUBLE)
+                   / SQRT(CAST((n * sqq - sq * sq)
+                               * (n * sdd - sd * sd) AS DOUBLE))
+                   AS corr_qty_disc
+        FROM s
     """,
     "semi_anti_join_orders": """
         SELECT o_orderkey, o_orderpriority,
