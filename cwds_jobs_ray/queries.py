@@ -676,6 +676,89 @@ def bloom_semi_join_orders(sf_dir: str):
     return wave_group_reduce(both, "_bucket", nb, verify_bucket)
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-k terms by TF-IDF-style weighting — the standard
+    corpus term-salience pass, shaped for scale: document frequency is the
+    ONLY cross-document state, computed with one term-bucketed exchange of
+    per-block (term, doc-count) partials and broadcast once via ``ray.put``
+    (a natural-language vocabulary is Zipf-bounded, millions of terms, so
+    the df map is a classic small side; for open vocabularies swap the
+    broadcast for a term-keyed join of the same bucketed rows). Everything
+    else is block-local: a document is one row, so tf, scoring and the
+    per-doc top-k never leave the block. The weight is the exact rational
+    tf/df evaluated as ONE double division on exact ints — both engine and
+    oracle make the identical IEEE op, so ordering and values hash-match
+    bit-for-bit (same discipline as stats_moments_by_group); idf is a
+    monotone transform of 1/df, so for fixed tf the ranking matches the
+    classic formulation."""
+    from .functions.dedup import default_n_buckets
+    from .stages.partition import hash_strings
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = default_n_buckets()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for tx in t["text"].to_pylist():
+            terms.extend(set(tx.split(" ")))
+        c = pd.Series(terms, dtype="object").value_counts()
+        out = pa.table({"term": pa.array(c.index.to_numpy(), pa.string()),
+                        "df": pa.array(c.to_numpy(), pa.int64())})
+        bucket = (hash_strings(out["term"]) % np.uint64(nb)).astype(np.int64)
+        return out.append_column("_bucket", pa.array(bucket))
+
+    def df_bucket_sum(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("term", sort=False)["df"].sum() \
+            .reset_index()
+        # explicit types: an empty bucket must not infer a null-typed
+        # term column (block schemas would then disagree)
+        return pa.table({"term": pa.array(g["term"].tolist(), pa.string()),
+                         "df": pa.array(g["df"].to_numpy(np.int64))})
+
+    df_rows = wave_group_reduce(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=4096),
+        "_bucket", nb, df_bucket_sum)
+    # empty buckets emit zero-row tables whose pandas-inferred dtypes
+    # differ; they carry nothing, drop them before the concat
+    parts = [t for t in ray.get(df_rows.to_arrow_refs()) if t.num_rows]
+    df_map = (pa.concat_tables(parts).to_pandas() if parts
+              else pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64")}))
+    dref = ray.put(df_map)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        dfm = ray.get(dref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        docs, terms = [], []
+        for i, tx in enumerate(t["text"].to_pylist()):
+            ws = tx.split(" ")
+            docs.extend([ids[i]] * len(ws))
+            terms.extend(ws)
+        tf = pd.DataFrame({"doc_id": np.asarray(docs, np.int64),
+                           "term": pd.Series(terms, dtype="object")}) \
+            .groupby(["doc_id", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        m = tf.merge(dfm, on="term", how="left")
+        m["score"] = m["tf"].to_numpy(np.float64) \
+            / m["df"].to_numpy(np.float64)
+        m = m.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="stable")
+        top = m.groupby("doc_id", sort=False).head(TFIDF_TOP_K).copy()
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.table({"doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                         "term": pa.array(top["term"].tolist(), pa.string()),
+                         "rank": pa.array(top["rank"].to_numpy(np.int64)),
+                         "score": pa.array(
+                             top["score"].to_numpy(np.float64))})
+
+    return ds.map_batches(score_block, batch_format="pyarrow",
+                          batch_size=4096)
+
+
 def stats_moments_by_group(sf_dir: str):
     """Per-group statistics (mean / sample stddev / Pearson correlation)
     via EXACT integer moment sums — the mergeable-moments shape: each block
@@ -729,6 +812,53 @@ def stats_moments_by_group(sf_dir: str):
                                                 pa.float64()),
                          "corr_qty_disc": pa.array(rows["corr_qty_disc"],
                                                    pa.float64())})
+
+    return _tree_agg(ds, partial, final)
+
+
+def median_mode_by_group(sf_dir: str):
+    """Exact per-group order statistics over a BOUNDED value domain by
+    counting, never sorting: quantity is integral in [1, 50], so each block
+    emits at most |domain| x |groups| count rows, the counts add under any
+    merge tree, and the bounded final reads the median (first value whose
+    cumulative count reaches ceil(n/2)) and mode (max count, smallest value
+    on ties) straight off the merged histogram. The general-domain variant
+    is functions/stats.exact_quantiles (histogram refinement); this is the
+    degenerate one-round case worth its own shape — at 100 TB it is one
+    linear scan plus a 150-row reduce."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby(["l_returnflag", "q"], sort=False) \
+            .size().reset_index(name="cnt")
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        c = t.to_pandas().groupby(["l_returnflag", "q"], sort=False)["cnt"] \
+            .sum().reset_index().sort_values(["l_returnflag", "q"])
+        rows = {"l_returnflag": [], "median_qty": [], "mode_qty": [],
+                "n": []}
+        for flag, grp in c.groupby("l_returnflag", sort=True):
+            cnt = grp["cnt"].to_numpy(np.int64)
+            q = grp["q"].to_numpy(np.int64)
+            n = int(cnt.sum())
+            cum = np.cumsum(cnt)
+            med = int(q[np.searchsorted(cum, -(-n // 2))])
+            mode = int(q[np.lexsort((q, -cnt))[0]])
+            rows["l_returnflag"].append(flag)
+            rows["median_qty"].append(med)
+            rows["mode_qty"].append(mode)
+            rows["n"].append(n)
+        return pa.table({"l_returnflag": pa.array(rows["l_returnflag"],
+                                                  pa.string()),
+                         "median_qty": pa.array(rows["median_qty"],
+                                                pa.int64()),
+                         "mode_qty": pa.array(rows["mode_qty"], pa.int64()),
+                         "n": pa.array(rows["n"], pa.int64())})
 
     return _tree_agg(ds, partial, final)
 
@@ -1813,6 +1943,8 @@ QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "bloom_semi_join_orders": bloom_semi_join_orders,
     "stats_moments_by_group": stats_moments_by_group,
+    "tfidf_top_terms": tfidf_top_terms,
+    "median_mode_by_group": median_mode_by_group,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -2022,6 +2154,41 @@ ORACLE_SQL = {
         FROM orders
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                              WHERE l_returnflag = 'R')
+    """,
+    "median_mode_by_group": """
+        WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                          COUNT(*) AS cnt
+                   FROM lineitem GROUP BY l_returnflag, q),
+        tot AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+                FROM c GROUP BY l_returnflag),
+        cum AS (SELECT c.l_returnflag, q, cnt, n,
+                       SUM(cnt) OVER (PARTITION BY c.l_returnflag
+                                      ORDER BY q) AS cumc
+                FROM c JOIN tot USING (l_returnflag)),
+        med AS (SELECT l_returnflag, MIN(q) AS median_qty FROM cum
+                WHERE cumc >= (n + 1) // 2 GROUP BY l_returnflag),
+        mode AS (SELECT l_returnflag, q AS mode_qty FROM c
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                            ORDER BY cnt DESC, q ASC) = 1)
+        SELECT med.l_returnflag, median_qty, mode_qty, n
+        FROM med JOIN mode USING (l_returnflag) JOIN tot USING (l_returnflag)
+    """,
+    "tfidf_top_terms": f"""
+        WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+               GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+               GROUP BY term),
+        s AS (SELECT tf.doc_id, tf.term,
+                     CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+              FROM tf JOIN df USING (term)),
+        r AS (SELECT doc_id, term, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC)
+                         AS rank
+              FROM s)
+        SELECT doc_id, term, rank, score FROM r WHERE rank <= {TFIDF_TOP_K}
     """,
     "stats_moments_by_group": """
         WITH s AS (
