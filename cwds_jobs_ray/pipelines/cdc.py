@@ -858,20 +858,29 @@ class CDCJob:
                     "the committed schema")
         return manifest
 
-    def read_table(self, columns: list[str] | None = None) -> ray.data.Dataset:
+    def read_table(self, columns: list[str] | None = None,
+                   version: int | None = None) -> ray.data.Dataset:
         """Dataset over the committed live table.
 
         Partitions without delta files are plain column-pruned parquet scans
         with the tombstone filter pushed down; partitions with deltas (or
         whose base predates a schema evolution) go through one
         ``merge_on_read`` task each — partition-local LWW, nothing shuffled.
+
+        ``version`` time-travels: data files are immutable and versioned,
+        and every commit retains its manifest as ``manifest.v{N}.json``, so
+        a past committed state stays fully readable (snapshot isolation for
+        free) until ``vacuum`` drops its snapshot. Works across compactions
+        and reshards — GC keeps any file a retained snapshot references.
         """
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from ..stages.merge import merge_on_read
 
-        manifest = self.verify_committed_files()
+        manifest = self.verify_committed_files(
+            Manifest.load_version(self.table_dir, version)
+            if version is not None else None)
         cols = columns or PUBLIC_COLS
         full = self._disk_schema(manifest)
         plain: list[str] = []
@@ -906,11 +915,22 @@ class CDCJob:
             ds = ds.union(q)
         return ds
 
-    def read_table_arrow(self) -> pa.Table:
-        """Driver-side materialization for tests/small tables only."""
+    def vacuum(self, keep_last: int = 2):
+        """Drop all but the newest ``keep_last`` retained version snapshots
+        and reclaim data files nothing references any more (see
+        Manifest.vacuum). Returns (removed_snapshot_versions,
+        removed_data_files)."""
+        return self._load_manifest_or_raise().vacuum(self.table_dir,
+                                                     keep_last)
+
+    def read_table_arrow(self, version: int | None = None) -> pa.Table:
+        """Driver-side materialization for tests/small tables only.
+        ``version`` reads a retained snapshot (see ``read_table``)."""
         from ..stages.merge import merge_on_read
 
-        manifest = self.verify_committed_files()
+        manifest = self.verify_committed_files(
+            Manifest.load_version(self.table_dir, version)
+            if version is not None else None)
         full = self._disk_schema(manifest)
         cols = [f.name for f in full if f.name != "op"]
         tables = []

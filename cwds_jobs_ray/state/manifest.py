@@ -125,6 +125,10 @@ class Manifest:
             return None
         with open(path) as f:
             raw = json.load(f)
+        return cls._parse(raw, table_dir)
+
+    @classmethod
+    def _parse(cls, raw: dict, table_dir: str) -> "Manifest":
         if "hash_algo" not in raw:
             # a manifest written before partition-hash versioning: its base
             # files were routed by an UNKNOWN algorithm, so filling in the
@@ -151,17 +155,98 @@ class Manifest:
         """Atomic publish: temp write + fsync + rename + fsync(dir). The
         single commit point — the directory fsync makes the renamed entry
         itself durable, so a power loss can never surface a committed-looking
-        state whose manifest entry vanished."""
+        state whose manifest entry vanished.
+
+        After the swap, the committed state is also RETAINED as an immutable
+        snapshot ``manifest.v{N}.json`` (time travel: data files are already
+        immutable and versioned, so a retained manifest pins a complete
+        readable table state; see ``load_version`` / ``vacuum``). Snapshot
+        write happens strictly after the current-pointer swap — a crash
+        between the two loses only that version's snapshot, never current
+        readability."""
         os.makedirs(table_dir, exist_ok=True)
         path = os.path.join(table_dir, self.FILENAME)
+        blob = json.dumps(asdict(self), indent=1)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(asdict(self), f, indent=1)
+            f.write(blob)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
         from ..stages.merge import fsync_dir
         fsync_dir(table_dir)
+        snap = os.path.join(table_dir, self.snapshot_name(self.table_version))
+        with open(snap + ".tmp", "w") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(snap + ".tmp", snap)
+        fsync_dir(table_dir)
+
+    # -- retained snapshots (time travel) ----------------------------------
+    _SNAP_RE = re.compile(r"^manifest\.v(\d+)\.json$")
+
+    @staticmethod
+    def snapshot_name(version: int) -> str:
+        return f"manifest.v{version}.json"
+
+    @classmethod
+    def retained_versions(cls, table_dir: str) -> list[int]:
+        """Versions with a retained snapshot, ascending."""
+        if not os.path.isdir(table_dir):
+            return []
+        out = [int(m.group(1)) for fn in os.listdir(table_dir)
+               if (m := cls._SNAP_RE.match(fn))]
+        return sorted(out)
+
+    @classmethod
+    def load_version(cls, table_dir: str, version: int) -> "Manifest":
+        """Load a retained snapshot (same integrity guards as ``load``)."""
+        path = os.path.join(table_dir, cls.snapshot_name(version))
+        if not os.path.exists(path):
+            have = cls.retained_versions(table_dir)
+            raise RuntimeError(
+                f"no retained snapshot for version {version} at {table_dir} "
+                f"(retained: {have}) — it was never committed or has been "
+                "vacuumed")
+        with open(path) as f:
+            raw = json.load(f)
+        return cls._parse(raw, table_dir)
+
+    @classmethod
+    def _snapshot_files(cls, table_dir: str) -> set[str]:
+        """Union of data files referenced by ANY retained snapshot —
+        the GC keep-set extension that makes old versions readable.
+        Tolerant raw-JSON parse: GC must not fail on a snapshot written by
+        an older build."""
+        keep: set[str] = set()
+        for v in cls.retained_versions(table_dir):
+            try:
+                with open(os.path.join(table_dir,
+                                       cls.snapshot_name(v))) as f:
+                    raw = json.load(f)
+                for p in raw.get("partitions", {}).values():
+                    if p.get("file"):
+                        keep.add(p["file"])
+                    keep.update(p.get("delta_files", []))
+            except Exception:  # noqa: BLE001 — unreadable snapshot pins nothing
+                continue
+        return keep
+
+    def vacuum(self, table_dir: str, keep_last: int = 2):
+        """Retention: drop all but the newest ``keep_last`` snapshots (the
+        CURRENT manifest is never touched), then GC data files no longer
+        referenced by the current manifest or any surviving snapshot — the
+        point where compaction/reshard space is actually reclaimed.
+        Returns (removed_snapshot_versions, removed_data_files)."""
+        versions = self.retained_versions(table_dir)
+        drop = versions[:-keep_last] if keep_last > 0 else versions
+        for v in drop:
+            os.remove(os.path.join(table_dir, self.snapshot_name(v)))
+        from ..stages.merge import fsync_dir
+        if drop:
+            fsync_dir(table_dir)
+        return drop, self.gc_uncommitted(table_dir)
 
     # -- derived ----------------------------------------------------------
     def part(self, i: int) -> PartitionState:
@@ -181,9 +266,12 @@ class Manifest:
         """Delete data files not referenced by this manifest (crash leftovers).
 
         Reference analogue: orphan-index cleanup on startup
-        (ElasticsearchService.java:168-179).
+        (ElasticsearchService.java:168-179). Files referenced by RETAINED
+        version snapshots are kept too — uncommitted crash leftovers are
+        never in a snapshot (snapshots are written only at commit), so this
+        widens the keep-set without ever protecting garbage.
         """
-        keep = self.committed_files()
+        keep = self.committed_files() | self._snapshot_files(table_dir)
         removed = []
         pat = re.compile(r"^p=\d+$")
         if not os.path.isdir(table_dir):

@@ -109,8 +109,12 @@ def test_compact_folds_deltas_and_drops_tombstones(workdir):
     for i in range(P):
         t = pq.read_table(os.path.join(job.table_dir, m2.part(i).file))
         assert t.filter(pa.compute.equal(t["op"], "D")).num_rows == 0
-    # old version files GCed
+    # pre-compaction files stay pinned by retained version snapshots (time
+    # travel); vacuum drops the snapshots and THEN reclaims the space
     live = {os.path.join(job.table_dir, f) for f in m2.committed_files()}
+    on_disk = set(glob.glob(os.path.join(job.table_dir, "p=*", "*.parquet")))
+    assert live < on_disk
+    job.vacuum(keep_last=1)
     on_disk = set(glob.glob(os.path.join(job.table_dir, "p=*", "*.parquet")))
     assert on_disk == live
 
@@ -180,7 +184,10 @@ def test_reshard_preserves_state_and_counters(workdir):
         assert job2.read_table_arrow().equals(before)
         for f, v in totals.items():
             assert m.total(f) == v, f
+        # pre-reshard files stay pinned by retained snapshots (time travel
+        # works across reshards); vacuum reclaims them
         live = {os.path.join(job.table_dir, f) for f in m.committed_files()}
+        job2.vacuum(keep_last=1)
         on_disk = set(glob.glob(
             os.path.join(job.table_dir, "p=*", "*.parquet")))
         assert on_disk == live
