@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("export", help="write the live table as sorted parquet")
     ex.add_argument("--table-dir", required=True)
     ex.add_argument("--out", required=True)
+    ex.add_argument("--version", type=int, default=None,
+                    help="time travel: export a retained committed version")
+
+    vc = sub.add_parser("vacuum", help="drop old version snapshots and "
+                                       "reclaim unreferenced data files")
+    vc.add_argument("--table-dir", required=True)
+    vc.add_argument("--keep-last", type=int, default=2)
 
     sy = sub.add_parser("synth", help="generate a deterministic workload")
     sy.add_argument("--out", required=True)
@@ -91,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             "replay_skipped": m.total("replay_skipped"),
             "sources": m.sources,  # multi-source composite savepoints
             "source_namespaces": m.source_namespaces,
+            "retained_versions": Manifest.retained_versions(args.table_dir),
             "recent_batches": m.batch_history[-5:],
         }))
         return 0
@@ -148,11 +156,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "export":
         job = CDCJob(args.table_dir, wal_dir="/nonexistent")
-        ds = job.read_table()
+        ds = job.read_table(version=args.version)
         # per-partition files are already (conv_id, turn_idx)-sorted;
         # exported files keep that order (one file per committed partition)
         ds.write_parquet(args.out)
-        print(json.dumps({"rows": ds.count(), "out": args.out}))
+        print(json.dumps({"rows": ds.count(), "out": args.out,
+                          "version": args.version}))
+        return 0
+
+    if args.cmd == "vacuum":
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
+        dropped, removed = job.vacuum(keep_last=args.keep_last)
+        print(json.dumps({"dropped_versions": dropped,
+                          "removed_files": removed}))
         return 0
 
     if args.cmd == "verify":

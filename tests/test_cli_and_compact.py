@@ -297,3 +297,34 @@ def test_finalizer_chain_order_and_failure_isolation(workdir):
     import pyarrow.dataset as pads
     o = replay(d["base"], d["wal"], 2)
     assert pads.dataset(out_dir).to_table().num_rows == o.rows_applied
+
+
+def test_cli_vacuum_and_versioned_export(workdir, capsys):
+    spec = WalSpec(seed=35, n_convs=10, turns_per_conv=3, n_events=90,
+                   n_segments=3)
+    d = synthesize(spec, workdir)
+    table = os.path.join(workdir, "table")
+    assert cli_main(["run", "--table-dir", table,
+                     "--wal-dir", os.path.join(workdir, "wal"),
+                     "--base", d["base_path"], "--partitions", "4",
+                     "--events-per-batch", "30"]) == 0
+    capsys.readouterr()
+
+    assert cli_main(["status", "--table-dir", table]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert len(st["retained_versions"]) >= 2
+
+    old = st["retained_versions"][-2]
+    out_dir = os.path.join(workdir, "export_old")
+    assert cli_main(["export", "--table-dir", table, "--out", out_dir,
+                     "--version", str(old)]) == 0
+    exp = json.loads(capsys.readouterr().out)
+    assert exp["version"] == old and exp["rows"] > 0
+
+    assert cli_main(["vacuum", "--table-dir", table,
+                     "--keep-last", "1"]) == 0
+    vc = json.loads(capsys.readouterr().out)
+    assert old in vc["dropped_versions"]
+    assert cli_main(["status", "--table-dir", table]) == 0
+    st2 = json.loads(capsys.readouterr().out)
+    assert len(st2["retained_versions"]) == 1
