@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "semi_anti_join_orders",
     "heavy_hitter_users",
     "bloom_semi_join_orders",
+    "tfidf_top_terms",
+    "embedding_neardup_lsh",
 ]
 
 

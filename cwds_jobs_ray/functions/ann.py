@@ -271,6 +271,131 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
 
 _EMPTY_VPAIRS = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
+LSH_NDP_BANDS = 32
+LSH_NDP_ROWS = 8       # 8 sign bits per band -> 256 hyperplanes total
+_NDP_VERIFY_CHUNK = 65536
+
+
+def _ndp_planes(dim: int, seed: int = 17) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal(
+        (LSH_NDP_BANDS * LSH_NDP_ROWS, dim))
+
+
+def cosine_neardup_lsh(ds: ray.data.Dataset, threshold: float, dim: int,
+                       n_rows: int | None = None,
+                       n_buckets: int | None = None) -> ray.data.Dataset:
+    """Near-duplicate pairs by banded random-hyperplane LSH + EXACT verify —
+    the scale path the exact block-pair sweep's docstring points to for
+    thresholds >= ~0.8 (where band recall is driven to ~1: at cos 0.95 a
+    pair misses all 32 8-bit bands with probability ~2e-8; at cos 0.9,
+    ~2e-5 — tune bands/rows per threshold). Precision is always exact: every
+    candidate is re-verified with the true float64 cosine.
+
+    Shape: one linear scan emits per-band rows (band-hash key, vec_id, full
+    signature, raw float32 embedding bytes); ONE keyed exchange co-locates
+    each (band, hash) group; each bucket expands within-run candidate pairs
+    vectorized, keeps a pair only in its FIRST matching band (signatures
+    ride with the rows, so ownership is a vectorized band-prefix compare and
+    every pair is emitted exactly once globally — no second dedup
+    exchange), and verifies in bounded chunks. Wire cost is bands x corpus
+    (embedding bytes ride with every band row) — the right trade for
+    small/mid dims; for large payloads switch to the id-only banding +
+    bucketed join-back shape of functions/dedup.lsh_verified_pairs."""
+    from .dedup import sized_n_buckets
+    from .joins import _int_bucket
+    from ..stages.waves import wave_group_reduce
+
+    planes = _ndp_planes(dim)
+    pref = ray.put(planes)
+    # bucket sizing must NOT execute the input pipeline: callers pass a
+    # row-count hint (parquet footers are free); otherwise cluster-sized
+    from .dedup import default_n_buckets
+    nb = n_buckets or (sized_n_buckets(n_rows * LSH_NDP_BANDS)
+                       if n_rows else default_n_buckets())
+    bpow = (1 << np.arange(LSH_NDP_ROWS)).astype(np.uint16)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        raw = _mat(t["embedding"])          # float64 copy for signatures
+        m = _unit(raw)
+        n = len(m)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (m @ pl.T) > 0               # (n, bands*rows)
+        bh = (bits.reshape(n, LSH_NDP_BANDS, LSH_NDP_ROWS)
+              * bpow).sum(axis=2).astype(np.uint8)   # (n, bands)
+        sig = np.ascontiguousarray(bh)
+        # raw float32 bytes: verify upcasts exactly like the parquet read
+        emb32 = np.ascontiguousarray(raw.astype(np.float32))
+        band = np.tile(np.arange(LSH_NDP_BANDS, dtype=np.int64), n)
+        key = band * 256 + bh.reshape(-1).astype(np.int64)
+        out = pa.table({
+            "vec_id": pa.array(np.repeat(ids, LSH_NDP_BANDS)),
+            "band": pa.array(band),
+            "key": pa.array(key),
+            # NOTE: plain list repetition — np.repeat over a bytes list
+            # coerces to numpy 'S' dtype, which silently STRIPS trailing
+            # null bytes from signatures/embeddings
+            "sig": pa.array(
+                [s for s in (sig[i].tobytes() for i in range(n))
+                 for _ in range(LSH_NDP_BANDS)], pa.binary()),
+            "emb": pa.array(
+                [e for e in (emb32[i].tobytes() for i in range(n))
+                 for _ in range(LSH_NDP_BANDS)], pa.binary()),
+        })
+        return out.append_column(
+            "_bucket", pa.array(_int_bucket(key, nb)))
+
+    empty = _EMPTY_VPAIRS.empty_table()
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = t["key"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, key))
+        key, vid = key[order], vid[order]
+        band = t["band"].to_numpy(zero_copy_only=False)[order]
+        sig = np.frombuffer(
+            b"".join(t["sig"].to_pylist()),
+            dtype=np.uint8).reshape(t.num_rows, LSH_NDP_BANDS)[order]
+        emb = np.frombuffer(
+            b"".join(t["emb"].to_pylist()),
+            dtype=np.float32).reshape(t.num_rows, -1)[order]
+        from .dedup import _all_run_pairs
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        lens = np.diff(np.r_[starts, len(key)])
+        ia, ib = _all_run_pairs(starts, lens.astype(np.int64), len(key))
+        if not len(ia):
+            return empty
+        # first-matching-band ownership: keep a pair only where NO earlier
+        # band's hashes agree (each pair is then emitted exactly once
+        # globally, no dedup exchange needed)
+        bcur = band[ia]
+        eq = sig[ia] == sig[ib]                        # (npairs, bands)
+        earlier = np.arange(LSH_NDP_BANDS)[None, :] < bcur[:, None]
+        own = ~(eq & earlier).any(axis=1)
+        ia, ib = ia[own], ib[own]
+        out_a, out_b = [], []
+        for s in range(0, len(ia), _NDP_VERIFY_CHUNK):
+            ca, cb = ia[s:s + _NDP_VERIFY_CHUNK], ib[s:s + _NDP_VERIFY_CHUNK]
+            ua = _unit(emb[ca].astype(np.float64))
+            ub = _unit(emb[cb].astype(np.float64))
+            sim = np.einsum("ij,ij->i", ua, ub)
+            hit = sim >= threshold
+            a, b = vid[ca[hit]], vid[cb[hit]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"vec_a": pa.array(a, pa.int64()),
+                         "vec_b": pa.array(b, pa.int64())})
+
+    banded = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        band_rows, batch_format="pyarrow", batch_size=2048)
+    return wave_group_reduce(banded, "_bucket", nb, verify_bucket)
+
 
 def _windowed_submit(thunks, window: int):
     """Submit task thunks with at most ``window`` tasks IN FLIGHT (pending

@@ -1484,6 +1484,41 @@ def embedding_neardup_pairs(sf_dir: str):
     return pairs
 
 
+LSH_NDP_THRESHOLD = 0.9
+MIRROR_OFFSET = 1_000_000
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """High-threshold embedding near-dup via banded LSH + exact verify —
+    the scale path (functions/ann.cosine_neardup_lsh): candidate cost tracks
+    true near-dup density instead of the exact sweep's O(n^2) block grid.
+    Run over a MIRRORED corpus (each vector unioned once more under
+    vec_id + 1e6 — the exact-duplicate-embedding scenario a dedup pass
+    exists for, and one where identical signatures make LSH recall
+    structurally 1, so the pair set is oracle-exact by construction; the
+    probabilistic-recall regime is exercised against the exact sweep in
+    tests/test_functions.py)."""
+    from .functions.ann import _EMPTY_VPAIRS, cosine_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False) + MIRROR_OFFSET
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
+                            pa.array(v, pa.int64()))
+
+    mirrored = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = pf.metadata.num_rows * 2
+    first = _read(sf_dir, "embeddings", columns=["embedding"]).take(1)
+    d = len(first[0]["embedding"])
+    pairs = cosine_neardup_lsh(mirrored, LSH_NDP_THRESHOLD, dim=d, n_rows=n)
+    if pairs.count() == 0:
+        return _EMPTY_VPAIRS.empty_table().to_pandas()
+    return pairs
+
+
 CLEAN_MIN_WORDS = 5
 CLEAN_MIN_STOPWORDS = 3
 TOKEN_BUDGET_PER_LANG = 20_000
@@ -1945,6 +1980,7 @@ QUERIES = {
     "stats_moments_by_group": stats_moments_by_group,
     "tfidf_top_terms": tfidf_top_terms,
     "median_mode_by_group": median_mode_by_group,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
     "events_window_agg": events_window_agg,
     "topk_hot_keys": topk_hot_keys,
     "stable_order_head": stable_order_head,
@@ -2154,6 +2190,18 @@ ORACLE_SQL = {
         FROM orders
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                              WHERE l_returnflag = 'R')
+    """,
+    "embedding_neardup_lsh": f"""
+        WITH all_vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + {MIRROR_OFFSET}, embedding FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     LIST_COSINE_SIMILARITY(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) AS s
+              FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b FROM p WHERE s >= {LSH_NDP_THRESHOLD}
     """,
     "median_mode_by_group": """
         WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,

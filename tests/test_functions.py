@@ -807,3 +807,61 @@ def test_bloom_or_merge_order_independent():
     b = bloom_or([bloom_or(parts[:2]), bloom_or(parts[2:5]), parts[5]])
     c = bloom_or(list(reversed(parts)))
     assert a == b == c
+
+
+def test_cosine_neardup_lsh_matches_exact_sweep_on_planted_pairs():
+    """Banded-LSH + exact-verify near-dup (the high-threshold scale path)
+    must equal the exact block-pair sweep: planted noisy near-dups at
+    cos >= ~0.95 (per-band recall drives the miss probability to ~2e-8),
+    random background far below threshold, plus exact-duplicate vectors
+    (identical signatures -> recall is structurally 1)."""
+    from cwds_jobs_ray.functions.ann import (cosine_neardup_lsh,
+                                             cosine_neardup_pairs)
+    rng = np.random.default_rng(29)
+    dim, n = 32, 400
+    base = rng.standard_normal((n, dim))
+    rows = [base]
+    ids = [np.arange(n, dtype=np.int64)]
+    # 40 noisy near-dups of the first 40 vectors
+    noisy = base[:40] + 0.05 * rng.standard_normal((40, dim))
+    rows.append(noisy)
+    ids.append(np.arange(10_000, 10_040, dtype=np.int64))
+    # 20 exact duplicates
+    rows.append(base[50:70].copy())
+    ids.append(np.arange(20_000, 20_020, dtype=np.int64))
+    m = np.vstack(rows).astype(np.float32)
+    vid = np.concatenate(ids)
+    t = pa.table({"vec_id": pa.array(vid),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = (cosine_neardup_lsh(ds, 0.9, dim=dim)
+           .to_pandas().sort_values(["vec_a", "vec_b"])
+           .reset_index(drop=True))
+    exp = (cosine_neardup_pairs(ray.data.from_arrow(t).repartition(6), 0.9,
+                                block_size=64)
+           .to_pandas().sort_values(["vec_a", "vec_b"])
+           .reset_index(drop=True))
+    assert len(exp) >= 55  # the plant worked: near-dups + exact dups found
+    assert got.equals(exp)
+    # exactly-once ownership: no duplicate pairs across bands/buckets
+    assert not got.duplicated().any()
+
+
+def test_cosine_neardup_lsh_mega_duplicate_clique():
+    """A cluster of identical vectors is the degenerate case: every pair is
+    a true output pair (intrinsic O(m^2) RESULT), each must appear exactly
+    once (first-band ownership), and nothing else qualifies."""
+    from cwds_jobs_ray.functions.ann import cosine_neardup_lsh
+    rng = np.random.default_rng(31)
+    dim, copies = 16, 120
+    one = rng.standard_normal(dim).astype(np.float32)
+    other = rng.standard_normal((50, dim)).astype(np.float32)
+    m = np.vstack([np.tile(one, (copies, 1)), other])
+    vid = np.arange(len(m), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(vid),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = cosine_neardup_lsh(ds, 0.95, dim=dim).to_pandas()
+    assert len(got) == copies * (copies - 1) // 2
+    assert not got.duplicated().any()
+    assert got["vec_a"].max() < copies and got["vec_b"].max() < copies
