@@ -865,3 +865,28 @@ def test_cosine_neardup_lsh_mega_duplicate_clique():
     assert len(got) == copies * (copies - 1) // 2
     assert not got.duplicated().any()
     assert got["vec_a"].max() < copies and got["vec_b"].max() < copies
+
+
+def test_heavy_hitter_pattern_exact_across_random_streams():
+    """End-to-end two-scan exactness on randomized streams: for several
+    seeds/skews, candidates from the MG sketch + an exact candidate count
+    must reproduce precisely the keys with count > n/phi_den — including
+    when compression is aggressive (k barely above the heavy count)."""
+    from cwds_jobs_ray.functions.sketch import mg_candidates
+    for seed, alpha, k in ((1, 1.1, 96), (2, 1.6, 64), (3, 2.5, 48)):
+        rng = np.random.default_rng(seed)
+        vals = rng.zipf(alpha, 60_000)
+        vals = vals[vals < 5_000].astype(np.int64)
+        n = len(vals)
+        phi_den = 400
+        thresh = n / phi_den
+        ds = ray.data.from_arrow(
+            pa.table({"key": pa.array(vals)})).repartition(8)
+        cand = mg_candidates(ds, "key", k, n, thresh)
+        true = np.bincount(vals)
+        heavy = np.flatnonzero(true * phi_den > n)
+        assert np.isin(heavy, cand).all(), (seed, len(heavy), len(cand))
+        # exact verify pass (numpy stand-in for the distributed second scan)
+        cnt = np.bincount(vals[np.isin(vals, cand)], minlength=5_000)
+        got = np.flatnonzero(cnt * phi_den > n)
+        assert np.array_equal(np.sort(got), np.sort(heavy))
