@@ -80,6 +80,102 @@ def _transcript_replay(sf_dir: str):
 ORACLE_SF_DIR = os.environ.get("CWDS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+# -------------------------------------------------------------- change feed
+
+def _cdf_wal_halves(work: str) -> tuple[list[str], str]:
+    """The CDF workload's version cut: run A drains the first half of the
+    WAL segment files, run B the rest. Returns (first-half absolute paths,
+    directory holding hardlinks of just those files)."""
+    segs = sorted(
+        os.path.join(work, "wal", f) for f in os.listdir(f"{work}/wal")
+        if f.endswith(".parquet"))
+    half = segs[:len(segs) // 2]
+    wal_a = f"{work}/wal_first"
+    if not os.path.isdir(wal_a):
+        tmp = wal_a + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for p in half:
+            os.link(p, os.path.join(tmp, os.path.basename(p)))
+        try:
+            os.rename(tmp, wal_a)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return half, wal_a
+
+
+def _transcript_change_feed(sf_dir: str):
+    """Change data feed between two committed versions: load base + first
+    half of the WAL (version A), drain the rest (version B), then
+    ``CDCJob.read_changes(A, B)`` — one task per CHANGED partition diffing
+    the two retained snapshots partition-locally; untouched partitions are
+    skipped by a driver-side manifest compare before any I/O."""
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+
+    work = _replay_workload(sf_dir)
+    _half, wal_a = _cdf_wal_halves(work)
+    table_dir = f"{work}/table_cdf"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    job_a = CDCJob(table_dir, wal_a, num_partitions=16,
+                   events_per_batch=2_000_000)
+    ma = job_a.run(base_path=f"{work}/base/base.parquet")
+    job_b = CDCJob(table_dir, f"{work}/wal", num_partitions=16,
+                   events_per_batch=2_000_000)
+    mb = job_b.run()
+    return job_b.read_changes(ma.table_version, mb.table_version)
+
+
+def _transcript_change_feed_oracle_sql() -> str:
+    """SQL reformulation of the feed: the LWW live state cut at the run-A
+    watermark (max lsn over the first-half segment files — the applied set
+    at any segment prefix is exactly that lsn-prefix, the writer invariant
+    the time-travel suite asserts) FULL OUTER JOINed against the final live
+    state; a key whose winning lsn differs (or exists on one side only) is a
+    feed row: I/U carry the B post-image, D the A pre-image."""
+    work = _replay_workload(ORACLE_SF_DIR)
+    half, _wal_a = _cdf_wal_halves(work)
+    half_list = ", ".join(f"'{p}'" for p in half)
+    pay = ["role", "text", "tool", "ts", "lsn"]
+    img = ",\n               ".join(
+        f"CASE WHEN b.conv_id IS NULL THEN a.{c} ELSE b.{c} END AS {c}"
+        for c in pay)
+    live = """
+          SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY conv_id, turn_idx
+                     ORDER BY ts DESC, lsn DESC) AS rn
+            FROM {src}) WHERE rn = 1 AND op <> 'D'"""
+    return f"""
+        WITH wal AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY lsn ORDER BY filename, file_row_number
+                 ) AS copy_rn
+          FROM read_parquet('{work}/wal/*.parquet', union_by_name=true,
+                            filename=true, file_row_number=true)),
+        ev AS (SELECT conv_id, turn_idx, role, text, tool, ts, lsn, op
+               FROM wal WHERE copy_rn = 1),
+        base AS (SELECT conv_id, turn_idx, role, text, tool, ts, lsn,
+                        'B' AS op
+                 FROM read_parquet('{work}/base/base.parquet')),
+        allr AS (SELECT * FROM base UNION ALL SELECT * FROM ev),
+        wm AS (SELECT max(lsn) AS wm
+               FROM read_parquet([{half_list}], union_by_name=true)),
+        la AS ({live.format(src="allr WHERE lsn <= (SELECT wm FROM wm)")}),
+        lb AS ({live.format(src="allr")})
+        SELECT CASE WHEN a.conv_id IS NULL THEN b.conv_id
+                    ELSE a.conv_id END AS conv_id,
+               CASE WHEN a.conv_id IS NULL THEN b.turn_idx
+                    ELSE a.turn_idx END AS turn_idx,
+               CASE WHEN a.conv_id IS NULL THEN 'I'
+                    WHEN b.conv_id IS NULL THEN 'D'
+                    ELSE 'U' END AS change_type,
+               {img}
+        FROM la a FULL OUTER JOIN lb b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        WHERE a.conv_id IS NULL OR b.conv_id IS NULL OR a.lsn <> b.lsn
+    """
+
+
 def _transcript_replay_oracle_sql() -> str:
     """ANSI-SQL replay of the flagship pipeline over the SAME synthesized
     parquet the engine consumes: dedup verbatim redeliveries by lsn keeping
@@ -122,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out = dict(QUERIES)
     out["transcript_cdc_replay"] = _transcript_replay
+    out["transcript_change_feed"] = _transcript_change_feed
     return out
 
 
@@ -343,5 +440,6 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(ORACLE_SQL)
     out["transcript_cdc_replay"] = _transcript_replay_oracle_sql()
+    out["transcript_change_feed"] = _transcript_change_feed_oracle_sql()
     out.update(_golden_oracle_sqls())
     return out

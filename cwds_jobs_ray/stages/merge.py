@@ -707,3 +707,72 @@ def snapshot_write_partition(part: int, table_dir: str, version: int,
         columns=STATS_COLUMNS)
 
 
+
+
+# ---------------------------------------------------------------- change feed
+def live_state_diff(ta: pa.Table, tb: pa.Table) -> pa.Table:
+    """Row-level diff of two LIVE states of the same key space (the change
+    data feed kernel; see ``CDCJob.read_changes``). Both inputs carry the
+    key columns plus payload incl. ``lsn``. Emits one row per key whose
+    winning version differs between the states:
+
+    - ``change_type='I'``: key live only in B (insert, or un-tombstone) —
+      payload is the B post-image;
+    - ``change_type='U'``: live in both with a different winning ``lsn`` —
+      payload is the B post-image;
+    - ``change_type='D'``: live only in A (tombstoned or compacted away) —
+      payload is the A PRE-image (the reference's delete notifications also
+      carry the last-known document, ChangedEntityService semantics).
+
+    ``lsn`` is unique per event, so "winning lsn differs" is exactly
+    "a different version won" — identical payloads rewritten by a newer
+    event still surface as 'U' (CDC consumers must see the version bump).
+    One vectorized pandas outer merge; no per-row Python.
+    """
+    payload = [c for c in tb.column_names if c not in ("conv_id", "turn_idx")]
+    da = ta.to_pandas()
+    db = tb.to_pandas()
+    m = da.merge(db, on=["conv_id", "turn_idx"], how="outer",
+                 suffixes=("_a", ""), indicator=True, sort=False)
+    only_a = (m["_merge"] == "left_only").to_numpy()
+    only_b = (m["_merge"] == "right_only").to_numpy()
+    both = ~only_a & ~only_b
+    changed = only_a | only_b | (both & (m["lsn_a"].to_numpy(na_value=-1)
+                                         != m["lsn"].to_numpy(na_value=-2)))
+    m = m[changed].reset_index(drop=True)
+    only_a = only_a[changed]
+    only_b = only_b[changed]
+    out = pd.DataFrame({
+        "conv_id": m["conv_id"].to_numpy(),
+        "turn_idx": m["turn_idx"].to_numpy().astype(np.int64),
+        "change_type": np.where(only_a, "D", np.where(only_b, "I", "U")),
+    })
+    for c in payload:
+        ca = m.get(c + "_a")
+        out[c] = m[c].where(~only_a, ca) if ca is not None else m[c]
+    if "lsn" in out.columns:
+        out["lsn"] = out["lsn"].to_numpy(na_value=0).astype(np.int64)
+    if "ts" in out.columns:
+        out["ts"] = out["ts"].astype("datetime64[us]")
+    out = out.sort_values(["conv_id", "turn_idx"], kind="stable")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def partition_diff(table_dir: str, base_a: str | None, deltas_a: list[str],
+                   base_b: str | None, deltas_b: list[str],
+                   full_schema: pa.Schema, columns: list[str],
+                   policy: str = "lww",
+                   out_schema: pa.Schema | None = None) -> pa.Table:
+    """One partition's change feed: LWW-merge each version's committed
+    files (partition-local, nothing shuffled) and diff the live states.
+    Runs as one Ray task per CHANGED partition — untouched partitions are
+    skipped by the manifest compare in ``read_changes`` before any task is
+    submitted, so feed cost tracks the delta, not the table."""
+    ta = merge_on_read(table_dir, base_a, deltas_a, full_schema, columns,
+                       policy)
+    tb = merge_on_read(table_dir, base_b, deltas_b, full_schema, columns,
+                       policy)
+    d = live_state_diff(ta, tb)
+    # empty diffs infer null-typed columns from pandas; conform so every
+    # per-partition task returns the one committed feed schema
+    return conform_to_schema(d, out_schema) if out_schema is not None else d
