@@ -1943,6 +1943,196 @@ def multimodal_features(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# round-4 analytic widening: grouping sets, ordered string agg, rank-family
+# windows, gap fill, extract-all explode, fuzzy (edit-distance) self-join
+
+
+def cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (all 4 grouping sets of flag x status): revenue cents
+    + row counts. Same single-scan shape as ``rollup_revenue`` — the finest
+    (flag, status) partials are computed once per block; the bounded final
+    derives (flag), (status) and () by re-aggregating the partials, so the
+    extra grouping sets cost zero extra scans or shuffles."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.floor(
+            df.pop("l_extendedprice").to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")).reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        fine = t.to_pandas().groupby(
+            ["l_returnflag", "l_linestatus"], sort=False).sum().reset_index()
+        levels = [fine]
+        for keep, drop in (("l_returnflag", "l_linestatus"),
+                           ("l_linestatus", "l_returnflag")):
+            lv = fine.groupby(keep, sort=False)[["cents", "n"]] \
+                .sum().reset_index()
+            lv[drop] = None
+            levels.append(lv)
+        levels.append(pd.DataFrame(
+            {"l_returnflag": [None], "l_linestatus": [None],
+             "cents": [fine["cents"].sum()], "n": [fine["n"].sum()]}))
+        out = pd.concat(levels, ignore_index=True)
+        out["cents"] = out["cents"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return _pa_from_pandas(
+            out[["l_returnflag", "l_linestatus", "cents", "n"]],
+            preserve_index=False)
+
+    return _tree_agg(ds, partial, final)
+
+
+def string_agg_order_lines(sf_dir: str):
+    """Ordered string aggregation: per order, the comma-joined line numbers
+    in line order (the reference's concatenated-id audit columns). Order
+    matters, so this is NOT a semilattice — full rows hash once into
+    data-sized buckets (keys never span buckets) and each bucket sorts once,
+    then joins per group. The join is per-GROUP (bounded by lines-per-order,
+    <= 7), never per-row Python over the table."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    nb = _row_sized_buckets(sf_dir, "lineitem")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["l_orderkey"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def agg_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["l_orderkey", "l_linenumber"],
+                                       kind="stable")
+        df["s"] = df["l_linenumber"].astype(str)
+        g = df.groupby("l_orderkey", sort=False).agg(
+            lines=("s", ",".join), n_lines=("s", "size")).reset_index()
+        g["n_lines"] = g["n_lines"].astype("int64")
+        return _pa_from_pandas(g, preserve_index=False)
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, agg_bucket)
+
+
+NTILE_K = 4
+
+
+def window_rank_functions(sf_dir: str):
+    """Rank-family window functions per key: RANK / DENSE_RANK on value
+    descending, NTILE(4) and LEAD(value) over the fully deterministic
+    (value DESC, event_id) order — the per-row analytic family beyond
+    ``window_running_agg``'s running aggregates. One keyed exchange into
+    data-sized buckets, then one vectorized sort + grouped rank/shift pass
+    per bucket (no per-row Python)."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    nb = _row_sized_buckets(sf_dir, "events")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def ranks_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True], kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        g["rk"] = grp["value"].rank(method="min",
+                                    ascending=False).astype("int64")
+        g["drk"] = grp["value"].rank(method="dense",
+                                     ascending=False).astype("int64")
+        # NTILE(K): first (n % K) tiles get ceil(n/K) rows (SQL semantics)
+        pos = grp.cumcount().to_numpy()
+        n = grp["value"].transform("size").to_numpy()
+        k, r = n // NTILE_K, n % NTILE_K
+        big = r * (k + 1)
+        in_big = pos < big
+        g["nt"] = np.where(
+            in_big, pos // np.maximum(k + 1, 1),
+            r + (pos - big) // np.maximum(k, 1)).astype("int64") + 1
+        g["lead_value"] = grp["value"].shift(-1)
+        return _pa_from_pandas(
+            g[["event_id", "user_id", "rk", "drk", "nt", "lead_value"]],
+            preserve_index=False)
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, ranks_bucket)
+
+
+def gapfill_daily_counts(sf_dir: str):
+    """Time-series gap fill: daily event counts per event_type with
+    zero-filled missing (type, day) cells over the table's full date span.
+    Partials count per (type, day) per block (bounded: types x days); the
+    single bounded final owns the grid densification — the generate_series
+    never touches the distributed scan."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], "%Y-%m-%d")
+        df = pa.table({"event_type": t["event_type"],
+                       "day": day}).to_pandas()
+        g = df.groupby(["event_type", "day"], sort=False).size() \
+            .rename("n").reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["event_type", "day"], sort=False) \
+            .sum().reset_index()
+        days = pd.date_range(df["day"].min(), df["day"].max(), freq="D") \
+            .strftime("%Y-%m-%d")
+        grid = pd.MultiIndex.from_product(
+            [sorted(df["event_type"].unique()), days],
+            names=["event_type", "day"])
+        out = df.set_index(["event_type", "day"]).reindex(grid, fill_value=0) \
+            .reset_index()
+        out["n"] = out["n"].astype("int64")
+        return _pa_from_pandas(out, preserve_index=False)
+
+    return _tree_agg(ds, partial, final)
+
+
+EXTRACT_MIN_LEN = 8
+
+
+def regexp_extract_all_tokens(sf_dir: str):
+    """Regex extract-ALL with ordinality (1 row -> k match rows): every
+    maximal lowercase run of >= 8 chars in each document, with its index
+    among the document's matches. Pure Arrow kernels — split_pattern_regex
+    + list_parent_indices + a cumcount re-derived after the length filter;
+    no per-row Python, rows expand inside the batch (flat-map shape)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        runs = pc.split_pattern_regex(t["text"], "[^a-z]+")
+        parent = pc.list_parent_indices(runs)
+        flat = pc.list_flatten(runs)
+        keep = pc.greater_equal(pc.utf8_length(flat), EXTRACT_MIN_LEN)
+        tok = flat.filter(keep)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        # index among the KEPT matches of each parent (parents nondecreasing)
+        if len(par):
+            new = np.r_[True, par[1:] != par[:-1]]
+            starts = np.flatnonzero(new)
+            idx = np.arange(len(par)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(par)]))
+        else:
+            idx = np.empty(0, np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[par]
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "match_idx": pa.array(idx, pa.int64()),
+                         "token": tok})
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -2015,6 +2205,11 @@ QUERIES = {
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "cube_revenue": cube_revenue,
+    "string_agg_order_lines": string_agg_order_lines,
+    "window_rank_functions": window_rank_functions,
+    "gapfill_daily_counts": gapfill_daily_counts,
+    "regexp_extract_all_tokens": regexp_extract_all_tokens,
 }
 
 
@@ -2173,6 +2368,55 @@ ORACLE_SQL = {
                COUNT(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "string_agg_order_lines": """
+        SELECT l_orderkey,
+               string_agg(CAST(l_linenumber AS VARCHAR), ','
+                          ORDER BY l_linenumber) AS lines,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "window_rank_functions": """
+        SELECT event_id, user_id,
+               CAST(RANK() OVER (PARTITION BY user_id
+                    ORDER BY value DESC) AS BIGINT) AS rk,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                    ORDER BY value DESC) AS BIGINT) AS drk,
+               CAST(NTILE(4) OVER w AS BIGINT) AS nt,
+               LEAD(value) OVER w AS lead_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    "gapfill_daily_counts": """
+        WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
+                   FROM events),
+        c AS (SELECT event_type, day, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        days AS (SELECT strftime(unnest(generate_series(
+                     CAST((SELECT min(day) FROM d) AS DATE),
+                     CAST((SELECT max(day) FROM d) AS DATE),
+                     INTERVAL 1 DAY)), '%Y-%m-%d') AS day),
+        types AS (SELECT DISTINCT event_type FROM events)
+        SELECT t.event_type, dy.day, COALESCE(c.n, 0) AS n
+        FROM types t CROSS JOIN days dy
+        LEFT JOIN c ON c.event_type = t.event_type AND c.day = dy.day
+    """,
+    "regexp_extract_all_tokens": """
+        WITH m AS (SELECT doc_id,
+                          list_filter(regexp_extract_all(text, '[a-z]+'),
+                                      x -> length(x) >= 8) AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS match_idx,
+               unnest(toks) AS token
+        FROM m
     """,
     "heavy_hitter_users": f"""
         SELECT user_id, COUNT(*) AS n_events
