@@ -1,0 +1,224 @@
+"""Edit-distance-1 fuzzy self-join (symmetric-delete neighborhood).
+
+Public algorithm (SymSpell, Garbe 2012): ``ed(a, b) <= 1`` iff the
+1-deletion neighborhoods of ``a`` and ``b`` (each string plus every string
+formed by deleting one character) intersect. So: every row emits
+``len(s) + 1`` (key, id, s) rows keyed by a 64-bit hash of each
+neighborhood member; ONE keyed exchange co-locates shared keys; candidate
+pairs inside a key run are verified EXACTLY with a vectorized fixed-width
+byte-matrix compare (hash collisions and the "xy"/"yx" false-candidate
+class are rejected there, never emitted).
+
+Exactly-once emission without a global pair-dedup exchange:
+- ed=1, same length (substitution at position i): the only shared key
+  value is delete(·, i) — one run, one emission.
+- ed=1, length差 1: every shared key value IS the shorter string — one
+  run (the shorter's identity entry joins the longer's deletion entries).
+- ed=0 (identical strings): they share every key; pairs are emitted only
+  from the run where BOTH entries are identity entries (``self`` flag) —
+  exactly the one run keyed by the string itself.
+Within a run, `_all_run_pairs` emits each unordered pair once, and a
+(key, id) per-batch dedup removes repeated-character duplicate variants
+(each id lives in exactly one batch, so that dedup is global).
+
+Scale shape: the exchange payload is (int64 key, int64 id, string) — the
+string crosses the wire len(s)+1 times (the standard SymSpell sharding
+cost; the alternative, shipping ids only and joining strings back, is a
+second full exchange). Deletion variants and their hashes are built with
+numpy column deletes + void-row hashing — no per-row Python in the emit
+path. The reference joins entities by exact keys only
+(/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/identifier/ChangedEntityIdentifier.java);
+this is the fuzzy-key extension a cleaning pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages.waves import wave_group_reduce
+from .dedup import _all_run_pairs
+from .joins import _int_bucket
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _byte_matrix(strs_obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Object array of python strings -> (uint8 matrix padded with 0x00,
+    byte lengths). UTF-8; the matrix is the 'S'-dtype view so padding is
+    deterministic."""
+    enc = np.asarray([s.encode("utf-8") for s in strs_obj], dtype=bytes)
+    if len(enc) == 0 or enc.dtype.itemsize == 0:  # all-empty corpus
+        return np.zeros((len(enc), 1), np.uint8), np.zeros(len(enc), np.int64)
+    L = enc.dtype.itemsize
+    mat = enc.view(np.uint8).reshape(len(enc), L)
+    lens = np.asarray([len(x) for x in enc], dtype=np.int64)
+    return mat, lens
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _row_hash(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """64-bit hash of each row's first ``lens[i]`` bytes. Canonical in the
+    STRING, not the matrix: a column-wise length-masked polynomial (FNV-1a
+    shape + fmix finalizer), so the same logical string hashes identically
+    whatever padded width its batch or deletion pass used. Cost is one
+    vectorized pass per byte column — this operator targets key/name
+    fields, not document bodies."""
+    n = mat.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+    h = np.full(n, _FNV_OFFSET)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            active = j < lens
+            if not active.any():
+                break
+            hj = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(active, hj, h)
+        h ^= lens.astype(np.uint64) * _GOLDEN
+        h ^= h >> np.uint64(33)
+        h *= _MIX
+        h ^= h >> np.uint64(33)
+    return h.view(np.int64)
+
+
+def _emit_neighborhood(t: pa.Table, id_col: str, str_col: str,
+                       nb: int) -> pa.Table:
+    """One block -> (key, id, s, self, _bucket) rows: the identity entry
+    plus one entry per 1-deletion variant, (key, id)-deduped."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    strs = t[str_col].to_numpy(zero_copy_only=False)
+    mat, lens = _byte_matrix(strs)
+    keys = [_row_hash(mat, lens)]
+    row_ix = [np.arange(len(ids), dtype=np.int64)]
+    selfs = [np.ones(len(ids), bool)]
+    for p in range(mat.shape[1]):
+        alive = np.flatnonzero(lens > p)
+        if not len(alive):
+            break
+        var = np.delete(mat[alive], p, axis=1)
+        if var.shape[1] == 0:
+            var = np.zeros((len(alive), 1), np.uint8)
+        keys.append(_row_hash(var, lens[alive] - 1))
+        row_ix.append(alive)
+        selfs.append(np.zeros(len(alive), bool))
+    key = np.concatenate(keys)
+    ix = np.concatenate(row_ix)
+    is_self = np.concatenate(selfs)
+    # repeated characters produce identical variants: dedup (key, id)
+    order = np.lexsort((key, ids[ix]))
+    key, ix, is_self = key[order], ix[order], is_self[order]
+    keep = np.r_[True, (key[1:] != key[:-1]) | (ids[ix][1:] != ids[ix][:-1])]
+    # identity entries sort before/after arbitrarily; keep the self flag if
+    # ANY duplicate carried it (a 1-char string's deletion "" never equals
+    # its identity key because of the length salt)
+    grp = np.cumsum(keep) - 1
+    self_any = np.zeros(int(grp[-1]) + 1 if len(grp) else 0, bool)
+    np.logical_or.at(self_any, grp, is_self)
+    key, ix = key[keep], ix[keep]
+    return pa.table({
+        "key": pa.array(key),
+        "id": pa.array(ids[ix]),
+        "s": pa.array(np.asarray(strs)[ix].tolist(), pa.string()),
+        "self": pa.array(self_any),
+        "_bucket": pa.array(_int_bucket(key, nb)),
+    })
+
+
+def _ed1_mask(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """Vectorized exact check ed(sa[i], sb[i]) <= 1 for string pairs that
+    share a deletion key (so only the substitution / single-delete shapes
+    need deciding; everything else is a hash-collision reject)."""
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, bool)
+    ma, la = _byte_matrix(sa)
+    mb, lb = _byte_matrix(sb)
+    L = max(ma.shape[1], mb.shape[1])
+    if ma.shape[1] < L:
+        ma = np.pad(ma, ((0, 0), (0, L - ma.shape[1])))
+    if mb.shape[1] < L:
+        mb = np.pad(mb, ((0, 0), (0, L - mb.shape[1])))
+    out = np.zeros(n, bool)
+    neq = ma != mb
+    nmis = neq.sum(axis=1)
+    same_len = la == lb
+    out[same_len & (nmis <= 1)] = True
+    # |len diff| == 1: longer with the char at its FIRST mismatch deleted
+    # must equal the shorter (padding keeps trailing bytes comparable)
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        d = np.flatnonzero(diff1)
+        swap = la[d] < lb[d]
+        lng = np.where(swap[:, None], mb[d], ma[d])
+        sht = np.where(swap[:, None], ma[d], mb[d])
+        lens_s = np.minimum(la[d], lb[d])
+        fm = np.argmax(lng != sht, axis=1)  # 0 if all-equal: still correct
+        all_eq = ~(lng != sht).any(axis=1)
+        fm = np.where(all_eq, lens_s, fm)
+        idx = np.arange(L - 1)[None, :] + (np.arange(L - 1)[None, :]
+                                           >= fm[:, None])
+        deleted = np.take_along_axis(lng, idx, axis=1)
+        ok = (deleted == sht[:, :L - 1]).all(axis=1)
+        out[d] = ok
+    return out
+
+
+def _reduce_bucket(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    df = t.to_pandas().sort_values("key", kind="stable")
+    key = df["key"].to_numpy()
+    new = np.r_[True, key[1:] != key[:-1]]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.r_[starts, len(key)])
+    ia, ib = _all_run_pairs(starts.astype(np.int64), lens.astype(np.int64),
+                            len(key))
+    if len(ia) == 0:
+        return _PAIR_SCHEMA.empty_table()
+    ids = df["id"].to_numpy()
+    strs = df["s"].to_numpy()
+    slf = df["self"].to_numpy()
+    sa, sb = strs[ia], strs[ib]
+    same = sa == sb
+    # identical strings emit ONLY from their identity run (exactly-once)
+    keep = ~same | (slf[ia] & slf[ib])
+    keep &= ids[ia] != ids[ib]
+    ia, ib, sa, sb = ia[keep], ib[keep], sa[keep], sb[keep]
+    ok = np.ones(len(ia), bool)
+    chk = np.flatnonzero(sa != sb)
+    if len(chk):
+        ok[chk] = _ed1_mask(sa[chk], sb[chk])
+    a, b = ids[ia[ok]], ids[ib[ok]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    # within-run uniqueness is structural; the drop_duplicates guards runs
+    # merged by a 64-bit hash collision
+    df2 = pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+    return pa.table({"id_a": pa.array(df2["id_a"].to_numpy(), pa.int64()),
+                     "id_b": pa.array(df2["id_b"].to_numpy(), pa.int64())})
+
+
+def edit1_pairs(ds: ray.data.Dataset, id_col: str, str_col: str,
+                n_buckets: int | None = None) -> ray.data.Dataset:
+    """All unordered id pairs whose strings are within Levenshtein
+    distance 1 (including exact duplicates), each pair exactly once.
+
+    Pass ``n_buckets`` data-sized (e.g. from the source's parquet footer
+    row count) — the exchange carries each string len+1 times, so buckets
+    should track data volume, not CPU count."""
+    from .dedup import default_n_buckets
+    nb = n_buckets or default_n_buckets()
+
+    def emit(t: pa.Table) -> pa.Table:
+        return _emit_neighborhood(t, id_col, str_col, nb)
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
+    return wave_group_reduce(rows, "_bucket", nb, _reduce_bucket)

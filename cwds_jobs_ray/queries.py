@@ -2132,6 +2132,19 @@ def regexp_extract_all_tokens(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
 
 
+def fuzzy_pairs_edit1(sf_dir: str):
+    """Fuzzy self-join: all customer pairs whose names are within
+    Levenshtein distance 1 — symmetric-delete neighborhood keys, one keyed
+    exchange, vectorized exact verify inside each key run (see
+    functions/fuzzy.py for the exactly-once argument). The SQL oracle is
+    the O(n^2) cross-join levenshtein; the engine's cost is the
+    neighborhood exchange + per-run candidate verify."""
+    from .functions.fuzzy import edit1_pairs
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return edit1_pairs(ds, "c_custkey", "c_name",
+                       n_buckets=_row_sized_buckets(sf_dir, "customer"))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2210,6 +2223,7 @@ QUERIES = {
     "window_rank_functions": window_rank_functions,
     "gapfill_daily_counts": gapfill_daily_counts,
     "regexp_extract_all_tokens": regexp_extract_all_tokens,
+    "fuzzy_pairs_edit1": fuzzy_pairs_edit1,
 }
 
 
@@ -2417,6 +2431,11 @@ ORACLE_SQL = {
                CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS match_idx,
                unnest(toks) AS token
         FROM m
+    """,
+    "fuzzy_pairs_edit1": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     "heavy_hitter_users": f"""
         SELECT user_id, COUNT(*) AS n_events
