@@ -125,6 +125,46 @@ def _transcript_change_feed(sf_dir: str):
     return job_b.read_changes(ma.table_version, mb.table_version)
 
 
+def _tr_cut_us(work: str) -> int:
+    """Deterministic ts lower bound for the time-range read: 60% into the
+    WAL's event-ts span (computed from the same parquet by both sides)."""
+    import duckdb
+
+    lo, hi = duckdb.sql(
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) FROM "
+        f"read_parquet('{work}/wal/*.parquet', union_by_name=true)"
+    ).fetchone()
+    return int(lo + 0.6 * (hi - lo))
+
+
+def _transcript_time_range_read(sf_dir: str):
+    """Zone-map-pruned time-range read of the committed lake table: build
+    the table (full CDC replay), then ``read_table(ts_range=(lo, None))`` —
+    the manifest zone maps prune every file whose rows all predate the
+    bound driver-side (plan_read), surviving scans push the predicate into
+    parquet row groups, merge-on-read tasks filter post-merge (winner-ts
+    semantics)."""
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+
+    work = _replay_workload(sf_dir)
+    table_dir = f"{work}/table_tr"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    job = CDCJob(table_dir, f"{work}/wal", num_partitions=16,
+                 events_per_batch=500_000)
+    job.run(base_path=f"{work}/base/base.parquet")
+    return job.read_table(ts_range=(_tr_cut_us(work), None))
+
+
+def _transcript_time_range_oracle_sql() -> str:
+    """The flagship replay SQL with the winner-ts predicate appended — the
+    filter applies to the WINNING row's ts, exactly the engine's
+    read_table(ts_range=) contract."""
+    work = _replay_workload(ORACLE_SF_DIR)
+    cut = _tr_cut_us(work)
+    return (_transcript_replay_oracle_sql()
+            + f" AND epoch_us(ts) >= {cut}")
+
+
 def _transcript_change_feed_oracle_sql() -> str:
     """SQL reformulation of the feed: the LWW live state cut at the run-A
     watermark (max lsn over the first-half segment files — the applied set
@@ -219,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out = dict(QUERIES)
     out["transcript_cdc_replay"] = _transcript_replay
     out["transcript_change_feed"] = _transcript_change_feed
+    out["transcript_time_range_read"] = _transcript_time_range_read
     return out
 
 
@@ -441,5 +482,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["transcript_cdc_replay"] = _transcript_replay_oracle_sql()
     out["transcript_change_feed"] = _transcript_change_feed_oracle_sql()
+    out["transcript_time_range_read"] = _transcript_time_range_oracle_sql()
     out.update(_golden_oracle_sqls())
     return out

@@ -267,6 +267,8 @@ class CDCJob:
                 p.lsn_watermark = int(r["lsn_watermark"])
                 p.file = r["file"]
                 p.base_file_rows = int(r["base_file_rows"])
+                if isinstance(r.get("zone"), dict):
+                    p.zones = {r["file"]: r["zone"]}
         manifest.job_mode = INITIAL_RESUME
         manifest.table_version = 0
         manifest.commit(self.table_dir)
@@ -560,10 +562,14 @@ class CDCJob:
                     p.file = r["file"]
                     p.delta_files = []
                     p.delta_rows = 0
+                    if isinstance(r.get("zone"), dict):
+                        p.zones = {r["file"]: r["zone"]}
                 p.base_file_rows = int(r["base_file_rows"])
             else:
                 p.delta_files = p.delta_files + [r["delta_file"]]
                 p.delta_rows += int(r["delta_rows_new"])
+                if isinstance(r.get("zone"), dict):
+                    p.zones = {**p.zones, r["delta_file"]: r["zone"]}
         # untouched partitions carry their committed file forward unchanged
         # per-task skew stats: the block-level LWW pre-combine bounds each
         # merge task's input to distinct-keys-per-chunk, so even a viral key
@@ -652,14 +658,15 @@ class CDCJob:
         policy = manifest.merge_policy
 
         def compact_one(part: int, base_rel: str | None, delta_rels: list[str],
-                        table_dir: str) -> tuple[int, str, int, int]:
+                        table_dir: str) -> tuple[int, str, int, int, dict]:
             import os as _os
 
             import pyarrow.parquet as pq_
 
             from ..schema import conform_to_schema as _conform
             from ..stages.merge import (_key_arrays, _key_sort_indices,
-                                        _lww_winner_indices, write_atomic)
+                                        _lww_winner_indices, file_zone,
+                                        write_atomic)
             parts = []
             for rel in ([base_rel] if base_rel else []) + list(delta_rels):
                 t = _conform(pq_.read_table(_os.path.join(table_dir, rel)),
@@ -681,7 +688,7 @@ class CDCJob:
             new_rel = f"p={part}/v{version}.parquet"
             write_atomic(t, _os.path.join(table_dir, new_rel))
             live = t.filter(pc.not_equal(t["op"], "D")).num_rows
-            return part, new_rel, live, t.num_rows
+            return part, new_rel, live, t.num_rows, file_zone(t)
 
         task = ray.remote(compact_one)
         refs = [task.remote(i, manifest.part(i).file,
@@ -705,13 +712,14 @@ class CDCJob:
             batch_history=list(manifest.batch_history),
             partitions={k: _copy_part(v) for k, v in manifest.partitions.items()},
         )
-        for part, rel, live, total in ray.get(refs):
+        for part, rel, live, total, zone in ray.get(refs):
             p = new_m.part(part)
             p.file = rel
             p.delta_files = []
             p.delta_rows = 0
             p.base_file_rows = total
             p.rows_applied = live
+            p.zones = {rel: zone}
         new_m.commit(self.table_dir)
         new_m.gc_uncommitted(self.table_dir)
         return new_m
@@ -800,6 +808,8 @@ class CDCJob:
             p.rows_applied = int(r["rows_applied"])
             p.file = r["file"]
             p.base_file_rows = int(r["base_file_rows"])
+            if isinstance(r.get("zone"), dict):
+                p.zones = {r["file"]: r["zone"]}
         new_m.commit(self.table_dir)
         new_m.gc_uncommitted(self.table_dir)
         logger.info("resharded %d -> %d partitions at v%d",
@@ -863,14 +873,114 @@ class CDCJob:
                     "the committed schema")
         return manifest
 
+    def plan_read(self, columns: list[str] | None = None,
+                  version: int | None = None,
+                  ts_range: tuple | None = None) -> dict:
+        """EXPLAIN + planner for ``read_table``: decides per partition, from
+        the manifest's zone maps alone (driver-side, no data I/O), which
+        files are scanned plain, which go through merge-on-read, and which
+        are PRUNED for a ``ts_range`` read. Pruning rules and why they are
+        sound against LWW semantics (the predicate applies to the WINNING
+        row's ts, so naive pre-merge row filtering would be wrong):
+
+        - **partition skip** (any policy): if every file of the partition
+          has a recorded zone and none overlaps [lo, hi], no row of the
+          partition has ts in range — no winner can either.
+        - **file prune inside a merged partition** (lww): a file whose
+          ``max_ts < lo`` can only contribute winners with ts < lo. For any
+          key it wins, every other copy is <= that winner, so the post-merge
+          filter drops the key with or without the file — including the
+          tombstone case (the resurrected runner-up is also < lo). Under
+          fww the mirror rule prunes files with ``min_ts > hi``.
+        - a file with no zone entry (pre-feature manifest) never prunes.
+
+        Returns ``{"plain": [abs paths], "merged": [(base, deltas)],
+        "pruned_partitions": [i], "pruned_files": [rel], "ts_range":
+        (lo_us, hi_us) | None}``.
+        """
+        import pyarrow.parquet as pq
+
+        manifest = self.verify_committed_files(
+            Manifest.load_version(self.table_dir, version)
+            if version is not None else None)
+        cols = columns or PUBLIC_COLS
+        rng = _normalize_ts_range(ts_range)
+        lo, hi = rng if rng else (None, None)
+        lww = manifest.merge_policy == "lww"
+
+        def overlaps(zone: dict | None) -> bool:
+            if not isinstance(zone, dict):
+                return True  # unknown: never prune
+            if zone.get("rows", 1) == 0:
+                return False
+            zmin, zmax = zone.get("min_ts"), zone.get("max_ts")
+            if zmin is None or zmax is None:
+                return True  # null ts in file: unknown
+            return not ((lo is not None and zmax < lo)
+                        or (hi is not None and zmin > hi))
+
+        def winner_prunable(zone: dict | None) -> bool:
+            if not isinstance(zone, dict):
+                return False
+            if zone.get("rows", 1) == 0:
+                return True
+            zmin, zmax = zone.get("min_ts"), zone.get("max_ts")
+            if zmin is None or zmax is None:
+                return False
+            return (zmax < lo if lww and lo is not None else
+                    zmin > hi if not lww and hi is not None else False)
+
+        plain: list[str] = []
+        merged: list[tuple[str | None, list[str]]] = []
+        pruned_partitions: list[int] = []
+        pruned_files: list[str] = []
+        for i in range(manifest.num_partitions):
+            p = manifest.part(i)
+            rels = ([p.file] if p.file else []) + list(p.delta_files)
+            if not rels:
+                continue
+            if rng and not any(overlaps(p.zones.get(r)) for r in rels):
+                pruned_partitions.append(i)
+                continue
+            base, deltas = p.file, list(p.delta_files)
+            if rng:
+                drop = [r for r in deltas if winner_prunable(p.zones.get(r))]
+                if base and winner_prunable(p.zones.get(base)):
+                    pruned_files.append(base)
+                    base = None
+                pruned_files.extend(drop)
+                deltas = [r for r in deltas if r not in drop]
+            if deltas or base is None:
+                merged.append((base, deltas))
+                continue
+            names = pq.ParquetFile(
+                os.path.join(self.table_dir, base)).schema_arrow.names
+            if all(c in names for c in cols):
+                plain.append(f"{self.table_dir}/{base}")
+            else:  # pre-evolution base: needs null back-fill
+                merged.append((base, []))
+        return {"plain": plain, "merged": merged,
+                "pruned_partitions": pruned_partitions,
+                "pruned_files": pruned_files, "ts_range": rng,
+                "manifest": manifest, "columns": cols}
+
     def read_table(self, columns: list[str] | None = None,
-                   version: int | None = None) -> ray.data.Dataset:
+                   version: int | None = None,
+                   ts_range: tuple | None = None) -> ray.data.Dataset:
         """Dataset over the committed live table.
 
         Partitions without delta files are plain column-pruned parquet scans
         with the tombstone filter pushed down; partitions with deltas (or
         whose base predates a schema evolution) go through one
         ``merge_on_read`` task each — partition-local LWW, nothing shuffled.
+
+        ``ts_range=(lo, hi)`` (timestamps / None for open ends) returns only
+        live rows whose winning ts falls in the CLOSED interval. The zone
+        maps the writers record in the manifest prune non-overlapping files
+        and partitions on the driver with zero I/O (see ``plan_read`` for
+        the soundness argument); surviving plain scans push the predicate
+        into parquet row-group pruning, surviving merge-on-read tasks filter
+        post-merge.
 
         ``version`` time-travels: data files are immutable and versioned,
         and every commit retains its manifest as ``manifest.v{N}.json``, so
@@ -879,38 +989,31 @@ class CDCJob:
         and reshards — GC keeps any file a retained snapshot references.
         """
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         from ..stages.merge import merge_on_read
 
-        manifest = self.verify_committed_files(
-            Manifest.load_version(self.table_dir, version)
-            if version is not None else None)
-        cols = columns or PUBLIC_COLS
+        plan = self.plan_read(columns, version, ts_range)
+        manifest, cols = plan["manifest"], plan["columns"]
+        rng = plan["ts_range"]
         full = self._disk_schema(manifest)
-        plain: list[str] = []
-        merged: list[tuple[str | None, list[str]]] = []
-        for i in range(manifest.num_partitions):
-            p = manifest.part(i)
-            if not p.file and not p.delta_files:
-                continue
-            if p.delta_files:
-                merged.append((p.file, list(p.delta_files)))
-                continue
-            names = pq.ParquetFile(
-                os.path.join(self.table_dir, p.file)).schema_arrow.names
-            if all(c in names for c in cols):
-                plain.append(f"{self.table_dir}/{p.file}")
-            else:  # pre-evolution base: needs null back-fill
-                merged.append((p.file, []))
         parts: list[ray.data.Dataset] = []
-        if plain:
-            parts.append(ray.data.read_parquet(plain, columns=cols,
-                                               filter=pc.field("op") != "D"))
-        if merged:
+        if plan["plain"]:
+            flt = pc.field("op") != "D"
+            if rng:
+                lo, hi = rng
+                if lo is not None:
+                    flt = flt & (pc.field("ts")
+                                 >= pa.scalar(lo, pa.timestamp("us")))
+                if hi is not None:
+                    flt = flt & (pc.field("ts")
+                                 <= pa.scalar(hi, pa.timestamp("us")))
+            parts.append(ray.data.read_parquet(plan["plain"], columns=cols,
+                                               filter=flt))
+        if plan["merged"]:
             task = ray.remote(merge_on_read)
             refs = [task.remote(self.table_dir, f, d, full, cols,
-                                manifest.merge_policy) for f, d in merged]
+                                manifest.merge_policy, rng)
+                    for f, d in plan["merged"]]
             parts.append(ray.data.from_arrow_refs(refs))
         if not parts:
             return ray.data.from_arrow(
@@ -1079,11 +1182,31 @@ class CDCJob:
 
 
 # ---------------------------------------------------------------- helpers
+def _normalize_ts_range(ts_range) -> tuple[int | None, int | None] | None:
+    """(lo, hi) with ends as None / int epoch-microseconds / datetime /
+    pandas Timestamp / ISO string -> (lo_us, hi_us); None when both open."""
+    if ts_range is None:
+        return None
+    import numpy as np
+    lo, hi = ts_range
+
+    def us(v):
+        if v is None:
+            return None
+        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            return int(v)
+        return int(pd.Timestamp(v).value // 1000)
+
+    lo, hi = us(lo), us(hi)
+    return None if lo is None and hi is None else (lo, hi)
+
+
 def _copy_part(p):
     from ..state.manifest import PartitionState
     d = dict(vars(p))
     d["delta_files"] = list(d["delta_files"])
     d["source_watermarks"] = dict(d["source_watermarks"])
+    d["zones"] = dict(d["zones"])
     return PartitionState(**d)
 
 

@@ -54,8 +54,24 @@ from ..schema import conform_to_schema
 STATS_COLUMNS = [
     "part", "rows_applied", "dedup_count", "conflict_count",
     "replay_skipped", "lsn_watermark", "file", "delta_file",
-    "delta_rows_new", "base_file_rows", "rows_in",
+    "delta_rows_new", "base_file_rows", "rows_in", "zone",
 ]
+
+
+def file_zone(t: pa.Table) -> dict:
+    """Zone-map entry for a just-written data file: min/max (ts, lsn) and
+    row count, computed from the in-memory table by the task that wrote it
+    (zero extra I/O). Recorded in the manifest per file; ``CDCJob.plan_read``
+    prunes files/partitions whose zone cannot overlap a read's ts range."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return {"rows": 0}
+    ts = pc.cast(t["ts"], pa.int64())
+    return {"min_ts": pc.min(ts).as_py(), "max_ts": pc.max(ts).as_py(),
+            "min_lsn": pc.min(t["lsn"]).as_py() or 0,
+            "max_lsn": pc.max(t["lsn"]).as_py() or 0,
+            "rows": t.num_rows}
 
 # merge-on-read key/order columns: enough to decide every LWW winner and
 # count live rows without touching the payload
@@ -408,6 +424,7 @@ def make_partition_merger(
 
         new_base_rel, new_delta_rel, delta_rows_new = base_rel, None, 0
         base_file_rows = int(meta.get("base_file_rows", 0))
+        zone = None
 
         if allrows.num_rows == 0:
             live_rows = 0
@@ -416,6 +433,7 @@ def make_partition_merger(
                 write_atomic(disk_schema.empty_table(),
                              os.path.join(table_dir, new_base_rel))
                 base_file_rows = 0
+                zone = {"rows": 0}
         else:
             codes, uniq, turn, ts, lsn = _key_arrays(allrows)
             stored = np.arange(allrows.num_rows) < nb
@@ -452,6 +470,7 @@ def make_partition_merger(
                     new_delta_rel = f"p={part}/d{version}.parquet"
                     write_atomic(out, os.path.join(table_dir, new_delta_rel))
                     delta_rows_new = out.num_rows
+                    zone = file_zone(out)
             else:
                 # fold stored state + delta into a fresh base (size-tiered)
                 out = allrows.take(pa.array(winner_o))
@@ -459,11 +478,12 @@ def make_partition_merger(
                 new_base_rel = f"p={part}/v{version}.parquet"
                 write_atomic(out, os.path.join(table_dir, new_base_rel))
                 base_file_rows = out.num_rows
+                zone = file_zone(out)
 
         return pd.DataFrame(
             [[part, live_rows, dedup, conflict, replay_skipped, new_wm,
               new_base_rel, new_delta_rel, delta_rows_new, base_file_rows,
-              nd]],
+              nd, zone]],
             columns=STATS_COLUMNS,
         )
 
@@ -549,7 +569,9 @@ def merge_partition_slices(part: int, merger, *slices) -> pd.DataFrame:
 
 def merge_on_read(table_dir: str, base_rel: str | None, delta_rels: list[str],
                   full_schema: pa.Schema, columns: list[str] | None = None,
-                  policy: str = "lww") -> pa.Table:
+                  policy: str = "lww",
+                  ts_range: tuple[int | None, int | None] | None = None,
+                  ) -> pa.Table:
     """LWW-merged LIVE view of one partition's committed base+delta files.
 
     Reads only ``columns`` ∪ the key/order columns, merges per key (first
@@ -579,6 +601,17 @@ def merge_on_read(table_dir: str, base_rel: str | None, delta_rels: list[str],
         allrows = allrows.take(pa.array(winner_o))
     live = allrows.filter(pc.not_equal(allrows["op"], "D"))
     live = live.take(_key_sort_indices(live))
+    if ts_range is not None:
+        # the predicate applies to the WINNER's ts, so it must run after
+        # the merge (plan_read prunes whole files only where provably safe)
+        lo, hi = ts_range
+        m = pa.array(np.ones(live.num_rows, bool))
+        ts_i = pc.cast(live["ts"], pa.int64())
+        if lo is not None:
+            m = pc.and_kleene(m, pc.greater_equal(ts_i, lo))
+        if hi is not None:
+            m = pc.and_kleene(m, pc.less_equal(ts_i, hi))
+        live = live.filter(pc.fill_null(m, False))
     return live.select(out_cols)
 
 
@@ -638,7 +671,8 @@ def reshard_write_partition(part: int, table_dir: str, version: int,
     write_atomic(out, os.path.join(table_dir, rel))
     live = out.filter(pc.not_equal(pc.fill_null(out["op"], "B"), "D")).num_rows
     return pd.DataFrame(
-        [[part, live, 0, 0, 0, 0, rel, None, 0, out.num_rows, out.num_rows]],
+        [[part, live, 0, 0, 0, 0, rel, None, 0, out.num_rows, out.num_rows,
+          file_zone(out)]],
         columns=STATS_COLUMNS)
 
 
@@ -703,7 +737,7 @@ def snapshot_write_partition(part: int, table_dir: str, version: int,
     wm = int(lsns.max()) if len(lsns) else 0
     return pd.DataFrame(
         [[part, out.num_rows, 0, 0, 0, max(wm, 0), rel, None, 0,
-          out.num_rows, out.num_rows]],
+          out.num_rows, out.num_rows, file_zone(out)]],
         columns=STATS_COLUMNS)
 
 

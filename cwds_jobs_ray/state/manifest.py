@@ -44,6 +44,12 @@ class PartitionState:
     delta_files: list[str] = field(default_factory=list)
     delta_rows: int = 0        # total rows across delta_files
     base_file_rows: int = 0    # total rows in `file` (incl. tombstones)
+    # zone maps: rel path -> {"min_ts": us, "max_ts": us, "min_lsn": int,
+    # "max_lsn": int, "rows": int} recorded by the task that WROTE the file
+    # (the rows were in memory — zero extra I/O). read_table's planner
+    # prunes non-overlapping files/partitions driver-side from these; a
+    # missing entry (pre-feature manifests) just means "never prune it".
+    zones: dict[str, dict] = field(default_factory=dict)
 
 
 # Job modes — the reference's mode state machine
