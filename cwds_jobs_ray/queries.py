@@ -2145,6 +2145,84 @@ def fuzzy_pairs_edit1(sf_dir: str):
                        n_buckets=_row_sized_buckets(sf_dir, "customer"))
 
 
+def set_ops_keys(sf_dir: str):
+    """Set operations (INTERSECT / EXCEPT, set semantics) over two large
+    key sets, as one operator: each key tagged 'both' / 'left_only' /
+    'right_only'. Per-block distinct collapses each side before the wire;
+    one int-only keyed exchange; per-bucket OR of side bits decides
+    membership — dedup is global because a key never spans buckets."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    e = _read(sf_dir, "events", columns=["user_id"])
+    c = _read(sf_dir, "customer", columns=["c_custkey"])
+    nb = _agg_buckets()
+
+    def part(col: str, bit: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = pc.unique(t[col])
+            return pa.table({
+                "k": pc.cast(k, pa.int64()),
+                "bits": pa.array(np.full(len(k), bit, np.int8)),
+                "_bucket": pa.array(_int_bucket(
+                    k.to_numpy(zero_copy_only=False), nb)),
+            })
+        return f
+
+    both = (e.map_batches(part("user_id", 1), batch_format="pyarrow")
+            .union(c.map_batches(part("c_custkey", 2),
+                                 batch_format="pyarrow")))
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "membership": pa.array([], pa.string())})
+        df = t.to_pandas().drop_duplicates(["k", "bits"])
+        # bits are {1, 2}: after the dedup, sum == bitwise OR (vectorized)
+        g = df.groupby("k", sort=False)["bits"].sum()
+        names = np.array(["", "left_only", "right_only", "both"])
+        return pa.table({
+            "k": pa.array(g.index.to_numpy(), pa.int64()),
+            "membership": pa.array(names[g.to_numpy()], pa.string())})
+
+    return wave_group_reduce(both, "_bucket", nb, reduce)
+
+
+def redact_numbers(sf_dir: str):
+    """Regexp-replace scalar transform (the data-cleaning redaction shape):
+    every digit run of >= 2 chars in the event envelope masked. One Arrow
+    kernel per batch, zero-copy in."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "props_redacted": pc.replace_substring_regex(
+                t["props"], "[0-9]{2,}", "#")})
+
+    return ds.map_batches(redact, batch_format="pyarrow", batch_size=65536)
+
+
+def type_token_ratio(sf_dir: str):
+    """Lexical-diversity corpus stat: words and distinct words per document
+    (type/token counts). Doc-local, so entirely block-local: Arrow split +
+    one pandas nunique over (parent, word) per batch — no exchange at all."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        n_words = pc.cast(pc.list_value_length(words), pa.int64())
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        df = pd.DataFrame({"p": par, "w": flat.to_pandas()})
+        # split always yields >= 1 element, so every doc has a parent row
+        nun = df.groupby("p", sort=False)["w"].nunique().to_numpy()
+        return pa.table({"doc_id": t["doc_id"], "n_words": n_words,
+                         "n_distinct": pa.array(nun, pa.int64())})
+
+    return ds.map_batches(ttr, batch_format="pyarrow", batch_size=8192)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2224,6 +2302,9 @@ QUERIES = {
     "gapfill_daily_counts": gapfill_daily_counts,
     "regexp_extract_all_tokens": regexp_extract_all_tokens,
     "fuzzy_pairs_edit1": fuzzy_pairs_edit1,
+    "set_ops_keys": set_ops_keys,
+    "redact_numbers": redact_numbers,
+    "type_token_ratio": type_token_ratio,
 }
 
 
@@ -2436,6 +2517,31 @@ ORACLE_SQL = {
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "set_ops_keys": """
+        WITH e AS (SELECT DISTINCT user_id AS k FROM events),
+             c AS (SELECT DISTINCT c_custkey AS k FROM customer)
+        SELECT k, 'both' AS membership
+        FROM (SELECT k FROM e INTERSECT SELECT k FROM c)
+        UNION ALL
+        SELECT k, 'left_only'
+        FROM (SELECT k FROM e EXCEPT SELECT k FROM c)
+        UNION ALL
+        SELECT k, 'right_only'
+        FROM (SELECT k FROM c EXCEPT SELECT k FROM e)
+    """,
+    "redact_numbers": """
+        SELECT event_id,
+               regexp_replace(props, '[0-9]{2,}', '#', 'g')
+                   AS props_redacted
+        FROM events
+    """,
+    "type_token_ratio": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct
+        FROM documents
     """,
     "heavy_hitter_users": f"""
         SELECT user_id, COUNT(*) AS n_events
