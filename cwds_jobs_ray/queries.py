@@ -2223,6 +2223,56 @@ def type_token_ratio(sf_dir: str):
     return ds.map_batches(ttr, batch_format="pyarrow", batch_size=8192)
 
 
+def funnel_signup_purchase(sf_dir: str):
+    """Ordered event-pattern match (funnel): per user, the first 'signup'
+    and the first 'purchase' strictly AFTER it, with the conversion gap —
+    the MATCH_RECOGNIZE-lite shape. The scan ships only (user_id, type, ts)
+    for the two event types (row filter pushed to parquet); one keyed
+    exchange; per bucket a vectorized min/merge/min chain (no per-row or
+    per-group Python)."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"],
+               filter=pc.field("event_type").isin(["signup", "purchase"]))
+    nb = _agg_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def funnel(t: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "signup_ts": pa.array([], pa.timestamp("us")),
+            "purchase_ts": pa.array([], pa.timestamp("us")),
+            "gap_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return out_empty
+        df = t.to_pandas()
+        s = df[df["event_type"] == "signup"] \
+            .groupby("user_id", sort=False)["ts"].min().rename("signup_ts")
+        p = df[df["event_type"] == "purchase"].merge(
+            s, left_on="user_id", right_index=True)
+        p = p[p["ts"] > p["signup_ts"]]
+        if not len(p):
+            return out_empty
+        first = p.sort_values("ts", kind="stable") \
+            .groupby("user_id", sort=False).head(1)
+        gap = (first["ts"].astype("datetime64[us]").astype("int64")
+               - first["signup_ts"].astype("datetime64[us]").astype("int64"))
+        return pa.table({
+            "user_id": pa.array(first["user_id"].to_numpy(), pa.int64()),
+            "signup_ts": pa.array(first["signup_ts"]
+                                  .astype("datetime64[us]")),
+            "purchase_ts": pa.array(first["ts"].astype("datetime64[us]")),
+            "gap_us": pa.array(gap.to_numpy(), pa.int64())})
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, funnel)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2305,6 +2355,7 @@ QUERIES = {
     "set_ops_keys": set_ops_keys,
     "redact_numbers": redact_numbers,
     "type_token_ratio": type_token_ratio,
+    "funnel_signup_purchase": funnel_signup_purchase,
 }
 
 
@@ -2542,6 +2593,17 @@ ORACLE_SQL = {
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                    AS n_distinct
         FROM documents
+    """,
+    "funnel_signup_purchase": """
+        WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+              FROM events e JOIN s ON e.user_id = s.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+              GROUP BY 1)
+        SELECT s.user_id, s.signup_ts, p.purchase_ts,
+               epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS gap_us
+        FROM s JOIN p ON s.user_id = p.user_id
     """,
     "heavy_hitter_users": f"""
         SELECT user_id, COUNT(*) AS n_events
