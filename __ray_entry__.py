@@ -179,6 +179,11 @@ def _transcript_change_feed_oracle_sql() -> str:
     img = ",\n               ".join(
         f"CASE WHEN b.conv_id IS NULL THEN a.{c} ELSE b.{c} END AS {c}"
         for c in pay)
+    # Debezium-style before-images: populated for U rows only (D's payload
+    # already IS the pre-image)
+    img += ",\n               " + ",\n               ".join(
+        f"CASE WHEN a.conv_id IS NOT NULL AND b.conv_id IS NOT NULL "
+        f"THEN a.{c} END AS prev_{c}" for c in pay)
     live = """
           SELECT conv_id, turn_idx, role, text, tool, ts, lsn FROM (
             SELECT *, ROW_NUMBER() OVER (

@@ -1058,12 +1058,13 @@ class CDCJob:
         uni = unify_change_schemas([self._disk_schema(ma),
                                     self._disk_schema(mb)])
         cols = [f.name for f in uni if f.name != "op"]
+        pay = [c for c in cols if c not in ("conv_id", "turn_idx")]
         out_schema = pa.schema(
             [pa.field("conv_id", pa.string()),
              pa.field("turn_idx", pa.int64()),
              pa.field("change_type", pa.string())]
-            + [uni.field(c) for c in cols
-               if c not in ("conv_id", "turn_idx")])
+            + [uni.field(c) for c in pay]
+            + [pa.field("prev_" + c, uni.field(c).type) for c in pay])
 
         if ma.num_partitions == mb.num_partitions:
             diff_t = ray.remote(partition_diff)

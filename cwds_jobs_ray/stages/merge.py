@@ -753,10 +753,14 @@ def live_state_diff(ta: pa.Table, tb: pa.Table) -> pa.Table:
     - ``change_type='I'``: key live only in B (insert, or un-tombstone) —
       payload is the B post-image;
     - ``change_type='U'``: live in both with a different winning ``lsn`` —
-      payload is the B post-image;
+      payload is the B post-image, and the A pre-image rides in the
+      ``prev_<col>`` columns (Debezium-style before-images: what makes
+      attribute-dependent aggregates incrementally maintainable, see
+      pipelines/views.py);
     - ``change_type='D'``: live only in A (tombstoned or compacted away) —
       payload is the A PRE-image (the reference's delete notifications also
-      carry the last-known document, ChangedEntityService semantics).
+      carry the last-known document, ChangedEntityService semantics);
+      ``prev_*`` stays null (the payload already IS the before-image).
 
     ``lsn`` is unique per event, so "winning lsn differs" is exactly
     "a different version won" — identical payloads rewritten by a newer
@@ -776,6 +780,7 @@ def live_state_diff(ta: pa.Table, tb: pa.Table) -> pa.Table:
     m = m[changed].reset_index(drop=True)
     only_a = only_a[changed]
     only_b = only_b[changed]
+    is_u = ~only_a & ~only_b
     out = pd.DataFrame({
         "conv_id": m["conv_id"].to_numpy(),
         "turn_idx": m["turn_idx"].to_numpy().astype(np.int64),
@@ -784,10 +789,18 @@ def live_state_diff(ta: pa.Table, tb: pa.Table) -> pa.Table:
     for c in payload:
         ca = m.get(c + "_a")
         out[c] = m[c].where(~only_a, ca) if ca is not None else m[c]
+    for c in payload:  # before-images, U rows only
+        ca = m.get(c + "_a")
+        v = (ca.where(is_u) if ca is not None
+             else m[c].where(np.zeros(len(m), bool)))
+        if c == "lsn":  # keep integral through the float NaN detour
+            v = v.astype("Int64")
+        out["prev_" + c] = v
     if "lsn" in out.columns:
         out["lsn"] = out["lsn"].to_numpy(na_value=0).astype(np.int64)
-    if "ts" in out.columns:
-        out["ts"] = out["ts"].astype("datetime64[us]")
+    for c in ("ts", "prev_ts"):
+        if c in out.columns:
+            out[c] = out[c].astype("datetime64[us]")
     out = out.sort_values(["conv_id", "turn_idx"], kind="stable")
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -70,18 +70,25 @@ def _expected_diff(ta, tb):
     return out
 
 
-def _check_feed(got, exp):
+def _check_feed(got, exp, prev=None):
+    """``exp``: post/pre-image map from _expected_diff; ``prev``: the A
+    state as {(conv, turn): row} to verify U rows' before-images."""
     rows = got.to_pandas().to_dict("records")
     assert len(rows) == len(exp)
+
+    def eq(rv, pv):
+        return (rv == pv) or (rv is None and pv is None) or (
+            rv != rv and pv is None)
+
     for r in rows:
         k = (r["conv_id"], r["turn_idx"])
         ct, payload = exp[k]
         assert r["change_type"] == ct, k
         for c in ("role", "text", "tool", "lsn"):
-            pv = payload[c]
-            rv = r[c]
-            assert (rv == pv) or (rv is None and pv is None) or (
-                rv != rv and pv is None), (k, c, rv, pv)
+            assert eq(r[c], payload[c]), (k, c, r[c], payload[c])
+            if prev is not None:
+                pv = prev[k][c] if ct == "U" else None
+                assert eq(r["prev_" + c], pv), (k, "prev_" + c)
 
 
 def test_read_changes_matches_oracle_state_diff(workdir):
@@ -92,10 +99,13 @@ def test_read_changes_matches_oracle_state_diff(workdir):
     # every adjacent pair, plus the widest span
     pairs = list(zip(applied, applied[1:])) + [(applied[0], applied[-1])]
     for va, vb in pairs:
-        exp = _expected_diff(_state_at(d, wms[va]), _state_at(d, wms[vb]))
+        sa = _state_at(d, wms[va])
+        exp = _expected_diff(sa, _state_at(d, wms[vb]))
         got = _arrow(job.read_changes(va, vb))
         assert exp, (va, vb)  # the synth workload always changes something
-        _check_feed(got, exp)
+        _check_feed(got, exp,
+                    prev={(r["conv_id"], r["turn_idx"]): r
+                          for r in sa.to_pylist()})
 
 
 def test_read_changes_same_version_is_empty_with_schema(workdir):
