@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "bloom_semi_join_orders",
     "tfidf_top_terms",
     "embedding_neardup_lsh",
+    # late round-4 operators: deletion-neighborhood fuzzy join, ordered
+    # string agg (full-row exchange), rank-family windows, funnel match,
+    # Arrow extract-all explode
+    "fuzzy_pairs_edit1",
+    "string_agg_order_lines",
+    "window_rank_functions",
+    "funnel_signup_purchase",
+    "regexp_extract_all_tokens",
 ]
 
 

@@ -60,6 +60,27 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--table-dir", required=True)
     vc.add_argument("--keep-last", type=int, default=2)
 
+    ch = sub.add_parser("changes", help="change data feed between two "
+                                        "retained versions (I/U/D rows with "
+                                        "before-images)")
+    ch.add_argument("--table-dir", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--out", default=None,
+                    help="write the feed as parquet; default prints counts")
+
+    lk = sub.add_parser("lookup", help="point query: one conversation's "
+                                       "live turns")
+    lk.add_argument("--table-dir", required=True)
+    lk.add_argument("--conv-id", required=True)
+    lk.add_argument("--version", type=int, default=None)
+
+    vw = sub.add_parser("view", help="build or incrementally refresh the "
+                                     "conv_stats materialized view")
+    vw.add_argument("--table-dir", required=True)
+    vw.add_argument("--rebuild", action="store_true",
+                    help="force a full rebuild instead of a feed refresh")
+
     sy = sub.add_parser("synth", help="generate a deterministic workload")
     sy.add_argument("--out", required=True)
     sy.add_argument("--events", type=int, default=10_000)
@@ -184,6 +205,42 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"table_version": m.table_version,
                           "num_partitions": m.num_partitions,
                           "rows": m.total("rows_applied")}))
+        return 0
+
+    if args.cmd == "changes":
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
+        ds = job.read_changes(args.from_version, args.to_version)
+        if args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+        else:
+            import collections
+
+            import numpy as np
+            counts: collections.Counter = collections.Counter()
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                vals, ns = np.unique(
+                    b["change_type"].to_numpy(zero_copy_only=False),
+                    return_counts=True)
+                counts.update(dict(zip(vals.tolist(), ns.tolist())))
+            print(json.dumps({"changes": dict(counts)}))
+        return 0
+
+    if args.cmd == "lookup":
+        job = CDCJob(args.table_dir, wal_dir="/nonexistent")
+        t = job.lookup(args.conv_id, version=args.version)
+        print(json.dumps({"conv_id": args.conv_id, "rows": t.num_rows,
+                          "turns": t["turn_idx"].to_pylist()
+                          if t.num_rows else []}))
+        return 0
+
+    if args.cmd == "view":
+        from .pipelines.views import ConvStatsView
+
+        view = ConvStatsView(CDCJob(args.table_dir, wal_dir="/nonexistent"))
+        st = view.full_build() if args.rebuild else view.refresh()
+        print(json.dumps({"applied_version": st["applied_version"],
+                          "rows": view.read().num_rows}))
         return 0
 
     if args.cmd == "compact":

@@ -328,3 +328,39 @@ def test_cli_vacuum_and_versioned_export(workdir, capsys):
     assert cli_main(["status", "--table-dir", table]) == 0
     st2 = json.loads(capsys.readouterr().out)
     assert len(st2["retained_versions"]) == 1
+
+
+def test_cli_changes_lookup_view(workdir, capsys):
+    spec = WalSpec(seed=47, n_convs=12, turns_per_conv=3, n_events=120,
+                   n_segments=4)
+    d = synthesize(spec, workdir)
+    table = os.path.join(workdir, "table")
+    wal = os.path.join(workdir, "wal")
+    job = CDCJob(table, wal, num_partitions=4, events_per_batch=40)
+    job.run(base_path=d["base_path"])
+    from cwds_jobs_ray.state.manifest import Manifest
+
+    versions = Manifest.retained_versions(table)
+    va = min(v for v in versions if v >= 1)
+
+    assert cli_main(["changes", "--table-dir", table,
+                     "--from-version", str(va)]) == 0
+    ch = json.loads(capsys.readouterr().out)["changes"]
+    assert sum(ch.values()) > 0 and set(ch) <= {"I", "U", "D"}
+
+    out_dir = os.path.join(workdir, "feed_out")
+    assert cli_main(["changes", "--table-dir", table,
+                     "--from-version", str(va), "--out", out_dir]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == sum(ch.values())
+
+    conv = job.read_table_arrow()["conv_id"][0].as_py()
+    assert cli_main(["lookup", "--table-dir", table,
+                     "--conv-id", conv]) == 0
+    lk = json.loads(capsys.readouterr().out)
+    assert lk["rows"] == len(lk["turns"]) > 0
+
+    assert cli_main(["view", "--table-dir", table]) == 0
+    vw = json.loads(capsys.readouterr().out)
+    assert vw["rows"] > 0
+    assert cli_main(["view", "--table-dir", table]) == 0  # refresh no-op
+    assert json.loads(capsys.readouterr().out) == vw
