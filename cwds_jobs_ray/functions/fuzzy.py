@@ -94,6 +94,10 @@ def _emit_neighborhood(t: pa.Table, id_col: str, str_col: str,
                        nb: int) -> pa.Table:
     """One block -> (key, id, s, self, _bucket) rows: the identity entry
     plus one entry per 1-deletion variant, (key, id)-deduped."""
+    if t.num_rows == 0:
+        return pa.schema([("key", pa.int64()), ("id", pa.int64()),
+                          ("s", pa.string()), ("self", pa.bool_()),
+                          ("_bucket", pa.int64())]).empty_table()
     ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     strs = t[str_col].to_numpy(zero_copy_only=False)
     mat, lens = _byte_matrix(strs)

@@ -950,6 +950,8 @@ class CDCJob:
                     base = None
                 pruned_files.extend(drop)
                 deltas = [r for r in deltas if r not in drop]
+                if base is None and not deltas:
+                    continue  # everything winner-prunable: nothing to read
             if deltas or base is None:
                 merged.append((base, deltas))
                 continue

@@ -73,3 +73,12 @@ def test_ed1_mask_unit():
                   dtype=object)
     exp = np.array([True, True, True, True, True, True, True, False])
     assert (_ed1_mask(sa, sb) == exp).all()
+
+
+def test_emit_neighborhood_empty_block():
+    from cwds_jobs_ray.functions.fuzzy import _emit_neighborhood
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "s": pa.array([], pa.string())})
+    out = _emit_neighborhood(t, "id", "s", 4)
+    assert out.num_rows == 0
+    assert out.column_names == ["key", "id", "s", "self", "_bucket"]
