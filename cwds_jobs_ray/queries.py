@@ -2273,6 +2273,76 @@ def funnel_signup_purchase(sf_dir: str):
         "_bucket", nb, funnel)
 
 
+def window_distribution_functions(sf_dir: str):
+    """Distribution window functions per key: PERCENT_RANK and CUME_DIST
+    over value within each user. Each is ONE double division from exact
+    integer ranks — (rank_min-1)/(n-1) and rank_max/n, the SQL definitions
+    — so results are bit-equal to the oracle. Same bucketed one-pass shape
+    as the other window families."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    nb = _row_sized_buckets(sf_dir, "events")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def dist_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        grp = g.groupby("user_id", sort=False)
+        rk_min = grp["value"].rank(method="min").to_numpy()
+        rk_max = grp["value"].rank(method="max").to_numpy()
+        n = grp["value"].transform("size").to_numpy().astype(np.float64)
+        pr = np.where(n > 1, (rk_min - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = rk_max / n
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "pr": pa.array(pr, pa.float64()),
+                         "cd": pa.array(cd, pa.float64())})
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, dist_bucket)
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension statistics over the embedding list column (the vector
+    column's health check: count + exact integer-micro sum per dimension).
+    List columns flatten zero-copy; per-block bincount over within-list
+    positions pre-reduces to dim rows before the wire; bounded final.
+    Sums are exact int64 micro-units (floor(x * 1e6)) so float summation
+    order cannot break the oracle hash."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(emb).to_numpy(zero_copy_only=False)
+        if len(par) == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        new = np.r_[True, par[1:] != par[:-1]]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(par)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(par)]))
+        micro = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+        s = np.bincount(pos, weights=micro).astype(np.int64)
+        n = np.bincount(pos).astype(np.int64)
+        return pa.table({"idx": pa.array(np.arange(len(s)), pa.int64()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("idx", sort=True).sum().reset_index()
+        return _pa_from_pandas(df.astype("int64"), preserve_index=False)
+
+    return _tree_agg(ds, partial, final)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2356,6 +2426,8 @@ QUERIES = {
     "redact_numbers": redact_numbers,
     "type_token_ratio": type_token_ratio,
     "funnel_signup_purchase": funnel_signup_purchase,
+    "window_distribution_functions": window_distribution_functions,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 
@@ -2604,6 +2676,23 @@ ORACLE_SQL = {
         SELECT s.user_id, s.signup_ts, p.purchase_ts,
                epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS gap_us
         FROM s JOIN p ON s.user_id = p.user_id
+    """,
+    "window_distribution_functions": """
+        SELECT event_id, user_id,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value)
+    """,
+    "embedding_dim_stats": """
+        SELECT idx, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM (SELECT unnest(embedding) AS v,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                         AS idx
+              FROM embeddings)
+        GROUP BY idx
     """,
     "heavy_hitter_users": f"""
         SELECT user_id, COUNT(*) AS n_events
