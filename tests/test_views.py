@@ -92,3 +92,16 @@ def test_view_drops_fully_deleted_conversations(workdir):
     # sanity: the workload actually tombstoned at least one whole turn
     full = _expected(job_b)
     assert all(n > 0 for n, _ in full.values())
+
+
+def test_view_commit_cleans_uncommitted_files(workdir):
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    view = ConvStatsView(job_a, num_partitions=4)
+    view.full_build()
+    # crash leftover: a file written but never named by view.json
+    orphan = os.path.join(view.dir, "p0.v999.parquet")
+    open(orphan, "wb").close()
+    job_b.run()
+    view.refresh()  # next commit's cleanup removes it
+    assert not os.path.exists(orphan)
+    assert _as_dict(view.read()) == _expected(job_b)

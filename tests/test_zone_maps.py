@@ -118,3 +118,26 @@ def test_ts_range_accepts_timestamps_and_is_version_aware(workdir):
     v = max(versions)
     c = _sorted(job.read_table(ts_range=(lo, None), version=v).to_pandas())
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_fww_mirror_prune_rule(workdir):
+    """Under fww (first-writer-wins) the winner has MIN (ts, lsn), so the
+    file-prune mirror holds: files entirely ABOVE the upper bound can't
+    own a surviving winner. Results must match a post-hoc filter of the
+    fww table."""
+    d = synthesize(SPEC, workdir)
+    table_dir = os.path.join(workdir, "table_fww")
+    job = CDCJob(table_dir, os.path.join(workdir, "wal"), num_partitions=P,
+                 events_per_batch=120, merge_policy="fww",
+                 delta_threshold=0.9, max_delta_files=16)
+    job.run(base_path=d["base_path"])
+    full = job.read_table_arrow().to_pandas()
+    ts = full["ts"].astype("datetime64[us]").astype("int64")
+    hi = int(ts.quantile(0.1))
+    exp = _sorted(full[ts <= hi])
+    plan = job.plan_read(ts_range=(None, hi))
+    assert plan["pruned_files"], "fww mirror prune did not fire"
+    got = _sorted(job.read_table(ts_range=(None, hi)).to_pandas())
+    cols = [c for c in exp.columns if c in got.columns]
+    pd.testing.assert_frame_equal(got[cols].reset_index(drop=True),
+                                  exp[cols].reset_index(drop=True))
