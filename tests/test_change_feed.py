@@ -172,3 +172,82 @@ def test_lookup_time_travel(workdir):
     got = job.lookup(conv, version=va)
     exp = old.filter(pc.equal(old["conv_id"], conv))
     assert got.select(exp.column_names).equals(exp)
+
+
+# ---------------------------------------------------------------- kernel
+# property test: live_state_diff is a pure function; drive it directly
+# with randomized state pairs and compare to the dict-walk reference.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _mk_state(rows):
+    import pyarrow as pa
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "tool": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        "lsn": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+@st.composite
+def _state_pair(draw):
+    keys = draw(st.lists(st.tuples(st.sampled_from(["c1", "c2", "c3"]),
+                                   st.integers(0, 5)),
+                         unique=True, max_size=12))
+    rows_a, rows_b = [], []
+    lsn = 0
+    for k in keys:
+        in_a = draw(st.booleans())
+        in_b = draw(st.booleans())
+        same = draw(st.booleans())
+        lsn += 1
+        ra = (k[0], k[1], draw(st.sampled_from(["user", "assistant"])),
+              draw(st.sampled_from(["t1", None])), 1_000_000 * lsn, lsn)
+        if in_a:
+            rows_a.append(ra)
+        if in_b:
+            if same and in_a:
+                rows_b.append(ra)
+            else:
+                lsn += 1
+                rows_b.append((k[0], k[1],
+                               draw(st.sampled_from(["user", "assistant"])),
+                               draw(st.sampled_from(["t2", None])),
+                               1_000_000 * lsn, lsn))
+    return rows_a, rows_b
+
+
+@settings(max_examples=60, deadline=None)
+@given(_state_pair())
+def test_live_state_diff_property(pair):
+    from cwds_jobs_ray.stages.merge import live_state_diff
+    rows_a, rows_b = pair
+    ta, tb = _mk_state(rows_a), _mk_state(rows_b)
+    got = {(r["conv_id"], r["turn_idx"]): r
+           for r in live_state_diff(ta, tb).to_pylist()}
+    a = {(r[0], r[1]): r for r in rows_a}
+    b = {(r[0], r[1]): r for r in rows_b}
+    exp = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            exp[k] = ("D", a[k])
+        elif k not in a:
+            exp[k] = ("I", b[k])
+        elif a[k][5] != b[k][5]:
+            exp[k] = ("U", b[k])
+    assert set(got) == set(exp)
+    for k, (ct, row) in exp.items():
+        g = got[k]
+        assert g["change_type"] == ct
+        assert g["role"] == row[2] and g["tool"] == row[3] \
+            and g["lsn"] == row[5]
+        if ct == "U":
+            pa_row = a[k]
+            assert g["prev_role"] == pa_row[2] and g["prev_lsn"] == pa_row[5]
+        else:
+            assert g["prev_role"] is None and g["prev_lsn"] is None
