@@ -402,3 +402,51 @@ def test_multi_source_with_schema_evolution(workdir):
     assert got.select(o.final.column_names).equals(o.final)
     assert m.total("rows_applied") == o.rows_applied
     assert m.total("conflict_count") == o.conflict_count
+
+
+def test_change_feed_over_multi_source_table(workdir):
+    """read_changes works off committed snapshots, so it must be exact on a
+    multi-source table too (namespaced lsns ride through the diff). Apply
+    source a, snapshot; add source b, diff — the feed must equal the
+    dict-walk of the two union-replay states."""
+    spec_a = WalSpec(seed=16, n_convs=10, turns_per_conv=3, n_events=120,
+                     n_segments=3, dup_redelivery_frac=0.1,
+                     out_of_order_frac=0.2, frac_delete=0.2)
+    spec_b = WalSpec(seed=17, n_convs=10, turns_per_conv=3, n_events=90,
+                     n_segments=2, out_of_order_frac=0.2)
+    base, base_path, wal_a, wal_b = _setup_two_sources(workdir, spec_a,
+                                                       spec_b)
+    table = os.path.join(workdir, "table")
+    # source b exists from the start (namespaces pin at creation) but has
+    # no segments yet at snapshot time
+    b_dir = os.path.join(workdir, "wal_b_live")
+    os.makedirs(b_dir)
+    srcs = {"a": os.path.join(workdir, "wal_a"), "b": b_dir}
+    job_a = CDCJob(table, srcs, num_partitions=P, events_per_batch=500)
+    ma = job_a.run(base_path=base_path)
+    for f in sorted(os.listdir(os.path.join(workdir, "wal_b"))):
+        os.link(os.path.join(workdir, "wal_b", f), os.path.join(b_dir, f))
+    job_ab = CDCJob(table, srcs, num_partitions=P, events_per_batch=500)
+    mb = job_ab.run()
+
+    sa = replay(base, _effective(wal_a, NS), P).final
+    sb = replay(base, _oracle_union(wal_a, wal_b), P).final
+    a = {(r["conv_id"], r["turn_idx"]): r for r in sa.to_pylist()}
+    b = {(r["conv_id"], r["turn_idx"]): r for r in sb.to_pylist()}
+    exp = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            exp[k] = "D"
+        elif k not in a:
+            exp[k] = "I"
+        elif a[k]["lsn"] != b[k]["lsn"]:
+            exp[k] = "U"
+    import ray
+    feed = pa.concat_tables(
+        [t for t in ray.get(job_ab.read_changes(
+            ma.table_version, mb.table_version)
+            .materialize().to_arrow_refs()) if t.num_rows],
+        promote_options="permissive")
+    got = {(r["conv_id"], r["turn_idx"]): r["change_type"]
+           for r in feed.to_pylist()}
+    assert got == exp and exp
