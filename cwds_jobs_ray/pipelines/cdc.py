@@ -1149,8 +1149,10 @@ class CDCJob:
         p = manifest.part(part)
         if not p.file and not p.delta_files:
             return pa.schema([full.field(c) for c in cols]).empty_table()
+        # key_eq pushes the equality into parquet row-group pruning (files
+        # are key-sorted), so a point read touches ~one row group per file
         t = merge_on_read(self.table_dir, p.file, list(p.delta_files),
-                          full, cols, manifest.merge_policy)
+                          full, cols, manifest.merge_policy, key_eq=conv_id)
         return t.filter(pc.equal(t["conv_id"], conv_id))
 
     def vacuum(self, keep_last: int = 2):

@@ -571,7 +571,7 @@ def merge_on_read(table_dir: str, base_rel: str | None, delta_rels: list[str],
                   full_schema: pa.Schema, columns: list[str] | None = None,
                   policy: str = "lww",
                   ts_range: tuple[int | None, int | None] | None = None,
-                  ) -> pa.Table:
+                  key_eq: str | None = None) -> pa.Table:
     """LWW-merged LIVE view of one partition's committed base+delta files.
 
     Reads only ``columns`` ∪ the key/order columns, merges per key (first
@@ -587,9 +587,19 @@ def merge_on_read(table_dir: str, base_rel: str | None, delta_rels: list[str],
     sub = pa.schema([full_schema.field(c) for c in need])
     parts = []
     for rel in ([base_rel] if base_rel else []) + list(delta_rels):
-        f = pq.ParquetFile(os.path.join(table_dir, rel))
+        path = os.path.join(table_dir, rel)
+        f = pq.ParquetFile(path)
         cols = [c for c in need if c in f.schema_arrow.names]
-        t = conform_to_schema(f.read(columns=cols), sub)
+        if key_eq is not None:
+            # point read: files are (conv_id, turn_idx)-sorted, so the
+            # equality filter prunes to ~one row group via footer stats —
+            # LWW stays exact because filtering by the KEY keeps every row
+            # of the requested key
+            raw = pq.read_table(path, columns=cols,
+                                filters=[("conv_id", "==", key_eq)])
+        else:
+            raw = f.read(columns=cols)
+        t = conform_to_schema(raw, sub)
         if t.num_rows and t["op"].null_count == t.num_rows:
             t = t.set_column(t.schema.get_field_index("op"), "op",
                              pa.array(np.repeat("B", t.num_rows), pa.string()))
