@@ -2343,6 +2343,85 @@ def embedding_dim_stats(sf_dir: str):
     return _tree_agg(ds, partial, final)
 
 
+DECON_N = 5           # shingle width (words) for overlap decontamination
+DECON_BENCH_MAX = 20  # doc_id < this = the "benchmark" set
+
+
+def _word_shingles(t: pa.Table, n: int):
+    """Vectorized word n-gram shingles for a block of documents: returns
+    (parent_row_index, shingle_string) numpy arrays. Consecutive-word
+    windows never cross documents (parent equality over the window)."""
+    words = pc.split_pattern(t["text"], " ")
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    if len(flat) < n:
+        e = np.empty(0, np.int64)
+        return e, np.empty(0, object)
+    valid = par[: len(par) - n + 1] == par[n - 1:]
+    sh = flat[: len(flat) - n + 1].copy()
+    for k in range(1, n):
+        sh = sh + " "
+        sh = sh + flat[k: len(flat) - n + 1 + k]
+    return par[: len(par) - n + 1][valid], sh[valid]
+
+
+def decontaminate_against_benchmark(sf_dir: str):
+    """Benchmark decontamination (the eval-overlap gate every LLM corpus
+    pipeline needs): flag every corpus document sharing ANY 5-word shingle
+    with the benchmark set (here: doc_id < 20). The benchmark's shingle
+    set is built once and broadcast via ``ray.put`` (benchmark sets are
+    small by definition); each block then flags its docs with one
+    vectorized isin — corpus shingles never shuffle, never leave their
+    block. Exact string shingles here for oracle parity; at 100 TB swap
+    the set for 64-bit shingle hashes (same plumbing, ~1e-7 collision
+    odds)."""
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         filters=[("doc_id", "<", DECON_BENCH_MAX)])
+    _p, bench_sh = _word_shingles(docs, DECON_N)
+    bench_ref = ray.put(frozenset(bench_sh.tolist()))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               filter=pc.field("doc_id") >= DECON_BENCH_MAX)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        par, sh = _word_shingles(t, DECON_N)
+        contam = np.zeros(t.num_rows, bool)
+        if len(sh):
+            hit = pd.Series(sh).isin(bench).to_numpy()
+            np.logical_or.at(contam, par[hit], True)
+        return pa.table({"doc_id": t["doc_id"],
+                         "contaminated": pa.array(contam)})
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=4096)
+
+
+def dup_ngram_fraction(sf_dir: str):
+    """Repetition quality gate (the Gopher-style duplicate-3-gram rule):
+    per document, total vs distinct word trigrams and the duplicate
+    fraction. Document-local, so entirely block-local; the fraction is a
+    single double division from exact integer counts."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        par, sh = _word_shingles(t, 3)
+        n = np.zeros(t.num_rows, np.int64)
+        d = np.zeros(t.num_rows, np.int64)
+        if len(sh):
+            df = pd.DataFrame({"p": par, "g": sh})
+            g = df.groupby("p", sort=False)["g"].agg(["size", "nunique"])
+            n[g.index.to_numpy()] = g["size"].to_numpy()
+            d[g.index.to_numpy()] = g["nunique"].to_numpy()
+        frac = np.where(n > 0, (n - d) / np.maximum(n, 1), 0.0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_grams": pa.array(n), "n_distinct": pa.array(d),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2428,6 +2507,8 @@ QUERIES = {
     "funnel_signup_purchase": funnel_signup_purchase,
     "window_distribution_functions": window_distribution_functions,
     "embedding_dim_stats": embedding_dim_stats,
+    "decontaminate_against_benchmark": decontaminate_against_benchmark,
+    "dup_ngram_fraction": dup_ngram_fraction,
 }
 
 
@@ -2693,6 +2774,39 @@ ORACLE_SQL = {
                          AS idx
               FROM embeddings)
         GROUP BY idx
+    """,
+    "decontaminate_against_benchmark": f"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+        sh AS (SELECT doc_id, array_to_string(w[i:i+{DECON_N - 1}], ' ') AS g
+               FROM words,
+                    UNNEST(generate_series(1,
+                        greatest(len(w) - {DECON_N - 1}, 0))) t(i)),
+        bench AS (SELECT DISTINCT g FROM sh
+                  WHERE doc_id < {DECON_BENCH_MAX}),
+        flags AS (SELECT s.doc_id, COUNT(b.g) > 0 AS contaminated
+                  FROM sh s LEFT JOIN bench b USING (g)
+                  WHERE s.doc_id >= {DECON_BENCH_MAX} GROUP BY s.doc_id)
+        SELECT d.doc_id, COALESCE(f.contaminated, FALSE) AS contaminated
+        FROM documents d LEFT JOIN flags f USING (doc_id)
+        WHERE d.doc_id >= {DECON_BENCH_MAX}
+    """,
+    "dup_ngram_fraction": """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+        sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+               FROM words,
+                    UNNEST(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+        agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+                       COUNT(DISTINCT g) AS n_distinct
+                FROM sh GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(a.n_grams, 0) AS n_grams,
+               COALESCE(a.n_distinct, 0) AS n_distinct,
+               CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+                    ELSE CAST(a.n_grams - a.n_distinct AS DOUBLE)
+                         / a.n_grams END AS dup_frac
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     "heavy_hitter_users": f"""
         SELECT user_id, COUNT(*) AS n_events
