@@ -2,16 +2,19 @@
 driven by the change data feed (``CDCJob.read_changes``).
 
 The view here is per-conversation statistics: ``(conv_id, n_turns,
-n_assistant)`` — live turn count and live assistant-role turn count.
-Counts are maintainable purely from the feed:
+n_assistant, n_chars)`` — live turn count, live assistant-role turn
+count, and total live text length (a true SUM aggregate). All are
+maintainable purely from the feed:
 
-- I: ``n_turns += 1``; ``n_assistant += (role == 'assistant')``
-- D: ``n_turns -= 1``; ``n_assistant -= (role == 'assistant')`` (the feed's
-  D payload is the pre-image)
+- I: ``n_turns += 1``; ``n_assistant += (role == 'assistant')``;
+  ``n_chars += len(text)``
+- D: the mirror decrements (the feed's D payload is the pre-image)
 - U: ``n_turns += 0``; ``n_assistant += (role == 'assistant') -
-  (prev_role == 'assistant')`` — this is exactly why the feed carries
-  Debezium-style before-images on U rows; without ``prev_role`` the
-  attribute-dependent count could not be maintained.
+  (prev_role == 'assistant')``; ``n_chars += len(text) -
+  len(prev_text)`` — this is exactly why the feed carries Debezium-style
+  before-images on U rows; without ``prev_role``/``prev_text`` neither
+  the attribute-dependent count nor any payload SUM could be
+  maintained.
 
 Non-incrementalizable aggregates (max/min over mutable attributes — a
 delete can lower a max) are out of scope by design; use ``full_build``.
@@ -52,11 +55,21 @@ from .cdc import CDCJob
 
 VIEW_SCHEMA = pa.schema([("conv_id", pa.string()),
                          ("n_turns", pa.int64()),
-                         ("n_assistant", pa.int64())])
+                         ("n_assistant", pa.int64()),
+                         ("n_chars", pa.int64())])
 
 _PARTIAL_SCHEMA = pa.schema([("conv_id", pa.string()),
                              ("one", pa.int64()), ("asst", pa.int64()),
+                             ("chars", pa.int64()),
                              ("_bucket", pa.int64())])
+
+_AGG = ["one", "asst", "chars"]
+
+
+def _chars(col) -> "np.ndarray":
+    import pyarrow.compute as pc
+    return pc.fill_null(pc.utf8_length(col), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _block_stats(t: pa.Table) -> pd.DataFrame:
@@ -64,12 +77,13 @@ def _block_stats(t: pa.Table) -> pd.DataFrame:
         "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
         "one": np.ones(t.num_rows, np.int64),
         "asst": (t["role"].to_numpy(zero_copy_only=False)
-                 == "assistant").astype(np.int64)})
+                 == "assistant").astype(np.int64),
+        "chars": _chars(t["text"])})
     return df.groupby("conv_id", sort=False).sum().reset_index()
 
 
 def _delta_counts(t: pa.Table) -> pd.DataFrame:
-    """Feed rows -> per-conv (d_turns, d_assistant) increments."""
+    """Feed rows -> per-conv (d_turns, d_assistant, d_chars)."""
     ct = t["change_type"].to_numpy(zero_copy_only=False)
     sign = np.where(ct == "I", 1, np.where(ct == "D", -1, 0))
     role = t["role"].to_numpy(zero_copy_only=False)
@@ -78,8 +92,11 @@ def _delta_counts(t: pa.Table) -> pd.DataFrame:
     d_asst = np.where(is_u, (role == "assistant").astype(np.int64)
                       - (prev == "assistant").astype(np.int64),
                       sign * (role == "assistant").astype(np.int64))
+    ch, pch = _chars(t["text"]), _chars(t["prev_text"])
+    d_chars = np.where(is_u, ch - pch, sign * ch)
     df = pd.DataFrame({"conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
-                       "one": sign.astype(np.int64), "asst": d_asst})
+                       "one": sign.astype(np.int64), "asst": d_asst,
+                       "chars": d_chars})
     return df.groupby("conv_id", sort=False).sum().reset_index()
 
 
@@ -89,7 +106,9 @@ def _stats_to_table(df: pd.DataFrame) -> pa.Table:
                                          pa.string()),
                      "n_turns": pa.array(df["one"].to_numpy(), pa.int64()),
                      "n_assistant": pa.array(df["asst"].to_numpy(),
-                                             pa.int64())})
+                                             pa.int64()),
+                     "n_chars": pa.array(df["chars"].to_numpy(),
+                                         pa.int64())})
 
 
 def _write_view_partition(view_dir: str, rel: str, t: pa.Table) -> str:
@@ -106,12 +125,12 @@ def _apply_view_delta(view_dir: str, old_rel: str | None, rel: str,
         return None
     old = (pq.read_table(os.path.join(view_dir, old_rel))
            if old_rel else VIEW_SCHEMA.empty_table())
-    ren = {"n_turns": "one", "n_assistant": "asst"}
+    ren = {"n_turns": "one", "n_assistant": "asst", "n_chars": "chars"}
     merged = pd.concat(
         [old.to_pandas().rename(columns=ren),
          d.to_pandas().rename(columns=ren)],
         ignore_index=True).groupby("conv_id", sort=False)[
-            ["one", "asst"]].sum().reset_index()
+            _AGG].sum().reset_index()
     merged = merged[merged["one"] > 0]  # fully-deleted convs drop out
     write_atomic(_stats_to_table(merged), os.path.join(view_dir, rel))
     return rel
@@ -169,7 +188,7 @@ class ConvStatsView:
         manifest = self.job._load_manifest_or_raise()
         version = manifest.table_version
         nb = self.num_partitions
-        ds = self.job.read_table(columns=["conv_id", "role"])
+        ds = self.job.read_table(columns=["conv_id", "role", "text"])
 
         def partial(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -182,7 +201,7 @@ class ConvStatsView:
             if t.num_rows == 0:
                 return VIEW_SCHEMA.empty_table()
             df = t.to_pandas().groupby("conv_id", sort=False)[
-                ["one", "asst"]].sum().reset_index()
+                _AGG].sum().reset_index()
             return _stats_to_table(df)
 
         out = wave_group_reduce(
@@ -222,7 +241,7 @@ class ConvStatsView:
             if t.num_rows == 0:
                 return VIEW_SCHEMA.empty_table()
             df = t.to_pandas().groupby("conv_id", sort=False)[
-                ["one", "asst"]].sum().reset_index()
+                _AGG].sum().reset_index()
             return _stats_to_table(df)
 
         deltas = wave_group_reduce(

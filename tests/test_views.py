@@ -38,16 +38,21 @@ def _half_runs(workdir):
 def _expected(job) -> dict:
     t = job.read_table_arrow()
     out = {}
-    for conv, role in zip(t["conv_id"].to_pylist(), t["role"].to_pylist()):
-        n, a = out.get(conv, (0, 0))
-        out[conv] = (n + 1, a + (role == "assistant"))
+    for conv, role, text in zip(t["conv_id"].to_pylist(),
+                                t["role"].to_pylist(),
+                                t["text"].to_pylist()):
+        n, a, ch = out.get(conv, (0, 0, 0))
+        out[conv] = (n + 1, a + (role == "assistant"),
+                     ch + len(text or ""))
     return out
 
 
 def _as_dict(t) -> dict:
-    return {c: (n, a) for c, n, a in zip(t["conv_id"].to_pylist(),
-                                         t["n_turns"].to_pylist(),
-                                         t["n_assistant"].to_pylist())}
+    return {c: (n, a, ch)
+            for c, n, a, ch in zip(t["conv_id"].to_pylist(),
+                                   t["n_turns"].to_pylist(),
+                                   t["n_assistant"].to_pylist(),
+                                   t["n_chars"].to_pylist())}
 
 
 def test_refresh_equals_rebuild(workdir):
@@ -91,7 +96,7 @@ def test_view_drops_fully_deleted_conversations(workdir):
     assert set(_as_dict(view.read())) == live
     # sanity: the workload actually tombstoned at least one whole turn
     full = _expected(job_b)
-    assert all(n > 0 for n, _ in full.values())
+    assert all(n > 0 for n, _a, _c in full.values())
 
 
 def test_view_commit_cleans_uncommitted_files(workdir):
