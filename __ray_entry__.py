@@ -165,6 +165,46 @@ def _transcript_time_range_oracle_sql() -> str:
             + f" AND epoch_us(ts) >= {cut}")
 
 
+def _transcript_view_ivm(sf_dir: str):
+    """Incrementally-maintained view, driver-graded end-to-end: build the
+    view at the half-WAL version, drain the rest of the WAL, REFRESH from
+    the change feed (I/D count deltas, U deltas via before-images), and
+    return the view — which must equal a from-scratch SQL aggregate of the
+    FINAL state. This grades the feed, the before-images, and the view
+    maintenance algebra in one row."""
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.pipelines.views import ConvStatsView
+
+    work = _replay_workload(sf_dir)
+    _half, wal_a = _cdf_wal_halves(work)
+    table_dir = f"{work}/table_ivm"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    job_a = CDCJob(table_dir, wal_a, num_partitions=16,
+                   events_per_batch=2_000_000)
+    job_a.run(base_path=f"{work}/base/base.parquet")
+    ConvStatsView(job_a, num_partitions=8).full_build()
+    job_b = CDCJob(table_dir, f"{work}/wal", num_partitions=16,
+                   events_per_batch=2_000_000)
+    job_b.run()
+    view = ConvStatsView(job_b, num_partitions=8)
+    view.refresh()
+    return view.read()
+
+
+def _transcript_view_ivm_oracle_sql() -> str:
+    """From-scratch aggregate of the final replay state — the incremental
+    refresh must land on exactly this."""
+    live = _transcript_replay_oracle_sql()
+    return f"""
+        WITH live AS ({live})
+        SELECT conv_id, COUNT(*) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant,
+               CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+        FROM live GROUP BY conv_id
+    """
+
+
 def _transcript_change_feed_oracle_sql() -> str:
     """SQL reformulation of the feed: the LWW live state cut at the run-A
     watermark (max lsn over the first-half segment files — the applied set
@@ -265,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["transcript_cdc_replay"] = _transcript_replay
     out["transcript_change_feed"] = _transcript_change_feed
     out["transcript_time_range_read"] = _transcript_time_range_read
+    out["transcript_view_ivm"] = _transcript_view_ivm
     return out
 
 
@@ -488,5 +529,6 @@ def oracle_sql() -> dict[str, str]:
     out["transcript_cdc_replay"] = _transcript_replay_oracle_sql()
     out["transcript_change_feed"] = _transcript_change_feed_oracle_sql()
     out["transcript_time_range_read"] = _transcript_time_range_oracle_sql()
+    out["transcript_view_ivm"] = _transcript_view_ivm_oracle_sql()
     out.update(_golden_oracle_sqls())
     return out
