@@ -2343,6 +2343,24 @@ def embedding_dim_stats(sf_dir: str):
     return _tree_agg(ds, partial, final)
 
 
+def fuzzy_name_clusters(sf_dir: str):
+    """Entity-resolution clusters: connected components over the
+    edit-distance-1 name graph — the fuzzy pairs feed straight into the
+    same distributed min-label pointer-jumping CC every dedup pipeline
+    uses (operator composition; nothing frontier-sized touches the
+    driver). Oracle: recursive-CTE transitive closure over the
+    levenshtein<=1 edges."""
+    from .functions.dedup import connected_components
+
+    pairs = fuzzy_pairs_edit1(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    cc = connected_components(pairs)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["cust_id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
 DECON_N = 5           # shingle width (words) for overlap decontamination
 DECON_BENCH_MAX = 20  # doc_id < this = the "benchmark" set
 
@@ -2509,6 +2527,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "dup_ngram_fraction": dup_ngram_fraction,
+    "fuzzy_name_clusters": fuzzy_name_clusters,
 }
 
 
@@ -2721,6 +2740,18 @@ ORACLE_SQL = {
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "fuzzy_name_clusters": """
+        WITH RECURSIVE p AS (
+          SELECT a.c_custkey AS u0, b.c_custkey AS v0
+          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        e AS (SELECT u0 AS u, v0 AS v FROM p UNION SELECT v0, u0 FROM p),
+        walk(u, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, walk.label FROM e JOIN walk ON e.v = walk.u)
+        SELECT u AS cust_id, MIN(label) AS cluster_id FROM walk GROUP BY u
     """,
     "set_ops_keys": """
         WITH e AS (SELECT DISTINCT user_id AS k FROM events),
