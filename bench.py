@@ -182,9 +182,24 @@ def run_bench() -> dict:
         "rows_final": manifest.total("rows_applied"),
         "conflicts": manifest.total("conflict_count"),
         "dedup": manifest.total("dedup_count"),
+        # sandbox-window evidence (see BASELINE.md + tools/memcpy_probe.py):
+        # fresh-allocation memcpy GB/s drifts 0.3-25+ across hours here and
+        # caps every allocating pipeline; walls are only comparable between
+        # runs with similar probe readings
+        **{f"probe_{k}": v for k, v in _probe().items() if k != "unit"},
     }
     ray.shutdown()
     return out
+
+
+def _probe() -> dict:
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from memcpy_probe import probe
+        return probe(1)
+    except Exception:  # noqa: BLE001 — evidence only, never fail the bench
+        return {}
 
 
 def run_scaling() -> None:
