@@ -6,8 +6,9 @@ formed by deleting one character) intersect. So: every row emits
 ``len(s) + 1`` (key, id, s) rows keyed by a 64-bit hash of each
 neighborhood member; ONE keyed exchange co-locates shared keys; candidate
 pairs inside a key run are verified EXACTLY with a vectorized fixed-width
-byte-matrix compare (hash collisions and the "xy"/"yx" false-candidate
-class are rejected there, never emitted).
+CHARACTER-matrix compare (UTF-32 codepoints, so distances match
+character-level Levenshtein on any unicode input; hash collisions and the
+"xy"/"yx" false-candidate class are rejected there, never emitted).
 
 Exactly-once emission without a global pair-dedup exchange:
 - ed=1, same length (substitution at position i): the only shared key
@@ -25,8 +26,8 @@ Scale shape: the exchange payload is (int64 key, int64 id, string) — the
 string crosses the wire len(s)+1 times (the standard SymSpell sharding
 cost; the alternative, shipping ids only and joining strings back, is a
 second full exchange). Deletion variants and their hashes are built with
-numpy column deletes + void-row hashing — no per-row Python in the emit
-path. The reference joins entities by exact keys only
+numpy column deletes + length-masked polynomial row hashing — no per-row
+Python in the emit path. The reference joins entities by exact keys only
 (/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/identifier/ChangedEntityIdentifier.java);
 this is the fuzzy-key extension a cleaning pipeline needs.
 """
@@ -48,15 +49,18 @@ _PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
 
 def _byte_matrix(strs_obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Object array of python strings -> (uint8 matrix padded with 0x00,
-    byte lengths). UTF-8; the matrix is the 'S'-dtype view so padding is
-    deterministic."""
-    enc = np.asarray([s.encode("utf-8") for s in strs_obj], dtype=bytes)
+    """Object array of python strings -> (uint32 CHARACTER matrix padded
+    with 0, char lengths). Character-level (UTF-32 codepoints), not bytes:
+    Levenshtein distance is defined over characters, and a byte matrix
+    would count one multi-byte substitution as distance 2 (diverging from
+    the SQL oracle's levenshtein on non-ASCII data)."""
+    enc = np.asarray(strs_obj, dtype=str)
     if len(enc) == 0 or enc.dtype.itemsize == 0:  # all-empty corpus
-        return np.zeros((len(enc), 1), np.uint8), np.zeros(len(enc), np.int64)
-    L = enc.dtype.itemsize
-    mat = enc.view(np.uint8).reshape(len(enc), L)
-    lens = np.asarray([len(x) for x in enc], dtype=np.int64)
+        return (np.zeros((len(enc), 1), np.uint32),
+                np.zeros(len(enc), np.int64))
+    L = enc.dtype.itemsize // 4
+    mat = enc.view(np.uint32).reshape(len(enc), L)
+    lens = np.char.str_len(enc).astype(np.int64)
     return mat, lens
 
 
@@ -66,11 +70,11 @@ _MIX = np.uint64(0xFF51AFD7ED558CCD)
 
 
 def _row_hash(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """64-bit hash of each row's first ``lens[i]`` bytes. Canonical in the
+    """64-bit hash of each row's first ``lens[i]`` characters. Canonical in the
     STRING, not the matrix: a column-wise length-masked polynomial (FNV-1a
     shape + fmix finalizer), so the same logical string hashes identically
     whatever padded width its batch or deletion pass used. Cost is one
-    vectorized pass per byte column — this operator targets key/name
+    vectorized pass per character column — this operator targets key/name
     fields, not document bodies."""
     n = mat.shape[0]
     if n == 0:
@@ -110,7 +114,7 @@ def _emit_neighborhood(t: pa.Table, id_col: str, str_col: str,
             break
         var = np.delete(mat[alive], p, axis=1)
         if var.shape[1] == 0:
-            var = np.zeros((len(alive), 1), np.uint8)
+            var = np.zeros((len(alive), 1), np.uint32)
         keys.append(_row_hash(var, lens[alive] - 1))
         row_ix.append(alive)
         selfs.append(np.zeros(len(alive), bool))

@@ -82,3 +82,10 @@ def test_emit_neighborhood_empty_block():
     out = _emit_neighborhood(t, "id", "s", 4)
     assert out.num_rows == 0
     assert out.column_names == ["key", "id", "s", "self", "_bucket"]
+
+
+def test_edit1_unicode_char_level():
+    # one multi-byte substitution is distance 1 (char-level), and the
+    # oracle-equivalent brute force agrees
+    strs = ["café", "cafe", "cafés", "caf", "日本語", "日本誤", "日本語だ"]
+    assert _run(strs, nb=3) == _brute(strs)
