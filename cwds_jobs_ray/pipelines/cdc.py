@@ -830,7 +830,8 @@ class CDCJob:
                 if manifest.table_schema_b64 else TRANSCRIPT_SCHEMA)
         return stored_schema(base)
 
-    def verify_committed_files(self, manifest: Manifest | None = None) -> Manifest:
+    def verify_committed_files(self, manifest: Manifest | None = None,
+                               only_rels: set[str] | None = None) -> Manifest:
         """Verify-on-open sentinel (reference: a new index must prove it
         carries its mapping before being trusted, CUSTOM_CHECK at
         /root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/elastic/ElasticsearchService.java:93-108):
@@ -843,7 +844,10 @@ class CDCJob:
         manifest = manifest or self._load_manifest_or_raise()
         expected = self._disk_schema(manifest)
         known = set(expected.names)
-        for rel in sorted(manifest.committed_files()):
+        rels = (manifest.committed_files() if only_rels is None
+                else only_rels)  # delta-proportional callers verify what
+        # they will actually read (read_changes)
+        for rel in sorted(rels):
             path = os.path.join(self.table_dir, rel)
             try:
                 got = pq.ParquetFile(path).schema_arrow
@@ -1048,15 +1052,31 @@ class CDCJob:
         every keyed final."""
         from ..stages.merge import live_state_diff, merge_on_read, partition_diff
 
-        ma = self.verify_committed_files(
-            Manifest.load_version(self.table_dir, from_version))
-        mb = self.verify_committed_files(
-            Manifest.load_version(self.table_dir, to_version)
-            if to_version is not None else None)
+        ma = Manifest.load_version(self.table_dir, from_version)
+        mb = (Manifest.load_version(self.table_dir, to_version)
+              if to_version is not None else self._load_manifest_or_raise())
         if mb.table_version < ma.table_version:
             raise ValueError(
                 f"read_changes: to_version v{mb.table_version} predates "
                 f"from_version v{ma.table_version}")
+        # verify-on-open restricted to files the feed will actually read,
+        # keeping the whole operation delta-proportional
+        if ma.num_partitions == mb.num_partitions:
+            touched: set[str] = set()
+            for i in range(ma.num_partitions):
+                a, b = ma.part(i), mb.part(i)
+                if a.file == b.file and a.delta_files == b.delta_files:
+                    continue
+                for p in (a, b):
+                    touched |= ({p.file} if p.file else set()) \
+                        | set(p.delta_files)
+            self.verify_committed_files(ma, only_rels=touched
+                                        & set(ma.committed_files()))
+            self.verify_committed_files(mb, only_rels=touched
+                                        & set(mb.committed_files()))
+        else:  # reshard crossed: the re-bucket path reads everything
+            self.verify_committed_files(ma)
+            self.verify_committed_files(mb)
         uni = unify_change_schemas([self._disk_schema(ma),
                                     self._disk_schema(mb)])
         cols = [f.name for f in uni if f.name != "op"]
