@@ -238,6 +238,9 @@ def run_scaling() -> None:
         "events_per_sec_lo": thr_lo, "events_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
         "rounds": rounds,
+        # sandbox-window evidence of the winning run per level
+        "probe_fresh_lo": best[lo].get("probe_fresh_1p"),
+        "probe_fresh_hi": best[hi].get("probe_fresh_1p"),
     }))
 
 
