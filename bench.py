@@ -135,7 +135,12 @@ def run_bench() -> dict:
     # runs); min is the faithful estimate of pipeline cost
     reps = int(os.environ.get("BENCH_REPS", "5"))
     t_initial, t_apply, manifest = None, None, None
+    rep_detail = []  # per-rep wall + CONCURRENT probe (see BASELINE.md:
+    # the window drifts within one bench run, so a single post-hoc probe
+    # reading cannot be matched against the headline reps)
+    probe_at_best = None
     for rep in range(reps):
+        p_before = _probe().get("fresh_1p")
         table_dir = f"{work}/table_cpus{NUM_CPUS}_r{rep}"
         shutil.rmtree(table_dir, ignore_errors=True)
         job = CDCJob(table_dir, f"{work}/wal", num_partitions=64,
@@ -147,7 +152,10 @@ def run_bench() -> dict:
         manifest = job.apply_wal(manifest)
         ta = time.perf_counter() - t0
         t_initial = ti if t_initial is None else min(t_initial, ti)
-        t_apply = ta if t_apply is None else min(t_apply, ta)
+        if t_apply is None or ta < t_apply:
+            t_apply, probe_at_best = ta, p_before
+        rep_detail.append({"apply_sec": round(ta, 3),
+                           "probe_fresh_before": p_before})
         shutil.rmtree(table_dir, ignore_errors=True)
 
     # best-of-N per query: single observations carry multi-second ambient
@@ -182,6 +190,11 @@ def run_bench() -> dict:
         "rows_final": manifest.total("rows_applied"),
         "conflicts": manifest.total("conflict_count"),
         "dedup": manifest.total("dedup_count"),
+        # per-rep walls with the probe sampled IMMEDIATELY BEFORE each rep:
+        # compare the headline only against probe_at_best_rep, not the
+        # end-of-run probe below (the window drifts within a bench run)
+        "reps": rep_detail,
+        "probe_at_best_rep": probe_at_best,
         # sandbox-window evidence (see BASELINE.md + tools/memcpy_probe.py):
         # fresh-allocation memcpy GB/s drifts 0.3-25+ across hours here and
         # caps every allocating pipeline; walls are only comparable between
