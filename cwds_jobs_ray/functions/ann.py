@@ -281,6 +281,132 @@ def _ndp_planes(dim: int, seed: int = 17) -> np.ndarray:
         (LSH_NDP_BANDS * LSH_NDP_ROWS, dim))
 
 
+def _fixed_bin_f32(col, dim: int) -> np.ndarray:
+    """(n, dim) float32 view over a fixed_size_binary(dim*4) column —
+    straight from the Arrow data buffer, no per-row bytes objects."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, dim), np.float32)
+    width = 4 * dim
+    return np.frombuffer(arr.buffers()[1], dtype=np.float32,
+                         count=len(arr) * dim,
+                         offset=arr.offset * width).reshape(len(arr), dim)
+
+
+def _e1_split_bands(block: pa.Table, nb: int, planes: np.ndarray):
+    """Band wave 1 (per corpus block): int-only band rows
+    (doc_id=vec_id, band, band_hash) partitioned by hash(band*256+hash) —
+    NO payload rides with the banding exchange."""
+    from .dedup import _bucket_slices, _scalar_if_one
+    from .joins import _int_bucket
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "band": pa.array([], pa.int64()),
+                      "band_hash": pa.array([], pa.int64())})
+    if block.num_rows == 0:
+        return _scalar_if_one([empty] * nb, nb)
+    m = _unit(_mat(block["embedding"]))
+    n = len(m)
+    ids = block["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bits = (m @ planes.T) > 0                     # (n, bands*rows)
+    bpow = (1 << np.arange(LSH_NDP_ROWS)).astype(np.int64)
+    bh = (bits.reshape(n, LSH_NDP_BANDS, LSH_NDP_ROWS)
+          * bpow).sum(axis=2).reshape(-1).astype(np.int64)
+    band = np.tile(np.arange(LSH_NDP_BANDS, dtype=np.int64), n)
+    doc = np.repeat(ids, LSH_NDP_BANDS)
+    b = _int_bucket(band * 256 + bh, nb)
+    return _scalar_if_one(
+        [pa.table({"doc_id": pa.array(doc[i]), "band": pa.array(band[i]),
+                   "band_hash": pa.array(bh[i])})
+         for i in _bucket_slices(b, nb)], nb)
+
+
+def _e1_split_vecs(block: pa.Table, nb: int, dim: int):
+    """Vec wave 1 (per corpus block): (doc_id, emb fixed_size_binary) rows
+    partitioned by hash(doc_id). The float32 payload is packed ONCE from the
+    contiguous matrix buffer (FixedSizeBinary over the raw buffer — no
+    per-row tobytes loop, and immune to the numpy 'S'-dtype
+    trailing-null-stripping pitfall)."""
+    from .dedup import _bucket_slices, _doc_bucket, _scalar_if_one
+
+    width = 4 * dim
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "emb": pa.array([], pa.binary(width))})
+    if block.num_rows == 0:
+        return _scalar_if_one([empty] * nb, nb)
+    ids = block["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # float32 bytes: verify upcasts to float64 exactly like the parquet read
+    emb32 = np.ascontiguousarray(
+        _mat(block["embedding"]).astype(np.float32))
+    arr = pa.Array.from_buffers(pa.binary(width), len(ids),
+                                [None, pa.py_buffer(emb32)])
+    t = pa.table({"doc_id": pa.array(ids), "emb": arr})
+    b = _doc_bucket(ids, nb)
+    return _scalar_if_one(
+        [t.take(pa.array(i)) for i in _bucket_slices(b, nb)], nb)
+
+
+def _e4_attach(nb: int, n_vec_slices: int, dim: int, *slices: pa.Table):
+    """Wave 4 (per doc bucket): join this bucket's pair-requests to its
+    embeddings and route (doc_id, emb) to each requesting pair bucket —
+    payload volume is O(candidate docs x requesting buckets), never
+    bands x corpus."""
+    from .dedup import _bucket_slices, _scalar_if_one
+
+    width = 4 * dim
+    vecs = [s for s in slices[:n_vec_slices] if s.num_rows]
+    reqs = [s for s in slices[n_vec_slices:] if s.num_rows]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "emb": pa.array([], pa.binary(width))})
+    if not vecs or not reqs:
+        return _scalar_if_one([empty] * nb, nb)
+    vt = pa.concat_tables(vecs)
+    vid = vt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, first = np.unique(vid, return_index=True)
+    rt = pa.concat_tables(reqs)
+    rid = rt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rpb = rt["pbucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(uniq, rid)
+    ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == rid)
+    pos, rpb, rid = pos[ok], rpb[ok], rid[ok]
+    take_rows = first[pos]                     # row in vt per request
+    out = []
+    for i in _bucket_slices(rpb, nb):
+        sel = vt.take(pa.array(take_rows[i]))
+        out.append(pa.table({"doc_id": pa.array(rid[i]),
+                             "emb": sel["emb"]}))
+    return _scalar_if_one(out, nb)
+
+
+def _e5_verify(threshold: float, dim: int, pairs_tbl: pa.Table,
+               *vec_slices: pa.Table) -> pa.Table:
+    """Wave 5 (per pair bucket): exact float64 cosine over ONLY the
+    candidate pairs, unit-normalizing each local vector once."""
+    if pairs_tbl.num_rows == 0:
+        return _EMPTY_VPAIRS.empty_table()
+    vecs = [s for s in vec_slices if s.num_rows]
+    vt = pa.concat_tables(vecs)
+    vid = vt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, first = np.unique(vid, return_index=True)
+    m = _unit(_fixed_bin_f32(vt["emb"], dim)[first].astype(np.float64))
+    a = pairs_tbl["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)
+    ia = np.searchsorted(uniq, a)
+    ib = np.searchsorted(uniq, b)
+    out_a, out_b = [], []
+    for s in range(0, len(ia), _NDP_VERIFY_CHUNK):
+        ca, cb = ia[s:s + _NDP_VERIFY_CHUNK], ib[s:s + _NDP_VERIFY_CHUNK]
+        sim = np.einsum("ij,ij->i", m[ca], m[cb])
+        hit = sim >= threshold
+        out_a.append(a[s:s + _NDP_VERIFY_CHUNK][hit])
+        out_b.append(b[s:s + _NDP_VERIFY_CHUNK][hit])
+    oa = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    ob = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    order = np.lexsort((ob, oa))
+    return pa.table({"vec_a": pa.array(oa[order], pa.int64()),
+                     "vec_b": pa.array(ob[order], pa.int64())})
+
+
 def cosine_neardup_lsh(ds: ray.data.Dataset, threshold: float, dim: int,
                        n_rows: int | None = None,
                        n_buckets: int | None = None) -> ray.data.Dataset:
@@ -291,110 +417,62 @@ def cosine_neardup_lsh(ds: ray.data.Dataset, threshold: float, dim: int,
     ~2e-5 — tune bands/rows per threshold). Precision is always exact: every
     candidate is re-verified with the true float64 cosine.
 
-    Shape: one linear scan emits per-band rows (band-hash key, vec_id, full
-    signature, raw float32 embedding bytes); ONE keyed exchange co-locates
-    each (band, hash) group; each bucket expands within-run candidate pairs
-    vectorized, keeps a pair only in its FIRST matching band (signatures
-    ride with the rows, so ownership is a vectorized band-prefix compare and
-    every pair is emitted exactly once globally — no second dedup
-    exchange), and verifies in bounded chunks. Wire cost is bands x corpus
-    (embedding bytes ride with every band row) — the right trade for
-    small/mid dims; for large payloads switch to the id-only banding +
-    bucketed join-back shape of functions/dedup.lsh_verified_pairs."""
-    from .dedup import sized_n_buckets
-    from .joins import _int_bucket
-    from ..stages.waves import wave_group_reduce
+    PAYLOAD-LIGHT shape (the dedup.lsh_verified_pairs wave structure —
+    round-4 verdict finding #2 replaced a variant whose band exchange
+    carried raw embedding bytes on every band row, wire = bands x corpus x
+    dim x 4):
 
+    1. band wave: int-only rows (vec_id, band, band_hash) co-located by
+       (band, hash) — the exchange moves 24 bytes/row regardless of dim;
+    2. per band bucket: within-run candidate pairs (vectorized
+       ``_all_run_pairs``), partitioned by pair-bucket hash;
+    3. per pair bucket: global pair dedup (pairs found by several bands
+       collapse here — replaces the old first-matching-band ownership, so
+       signatures never ride the wire either) + int-only (doc_id, pbucket)
+       embedding requests keyed by hash(doc_id);
+    4. per doc bucket: join requests to embeddings (packed once as
+       fixed_size_binary straight from the contiguous float32 buffer — no
+       per-row tobytes loop) and route each pair's two vectors to its
+       verify bucket: payload wire cost is O(candidate docs x requesting
+       buckets), tracking true near-dup density, never bands x corpus;
+    5. per pair bucket: exact float64 cosine verify in bounded chunks.
+    """
+    from .dedup import _norm, sized_n_buckets
+
+    # coalesce to wave-sized blocks first: upstream unions/filters can leave
+    # tiny blocks, and wave cost scales with (#blocks x nb) object count
+    mat = (ds.select_columns(["vec_id", "embedding"])
+             .map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=50_000)
+             .materialize())
+    nb = n_buckets or sized_n_buckets(
+        n_rows if n_rows else mat.count(), rows_per_bucket=100_000)
     planes = _ndp_planes(dim)
+    blocks = mat.to_arrow_refs()
+    if not blocks:
+        return ray.data.from_arrow(_EMPTY_VPAIRS.empty_table())
+    from .dedup import _w2_band_pairs, _w3_dedup_requests
+    e1_t = ray.remote(num_returns=nb)(_e1_split_bands)
+    w2_t = ray.remote(num_returns=nb)(_w2_band_pairs)
+    w3_t = ray.remote(num_returns=1 + nb)(_w3_dedup_requests)
+    d1_t = ray.remote(num_returns=nb)(_e1_split_vecs)
+    w4_t = ray.remote(num_returns=nb)(_e4_attach)
+    w5_t = ray.remote(_e5_verify)
     pref = ray.put(planes)
-    # bucket sizing must NOT execute the input pipeline: callers pass a
-    # row-count hint (parquet footers are free); otherwise cluster-sized
-    from .dedup import default_n_buckets
-    nb = n_buckets or (sized_n_buckets(n_rows * LSH_NDP_BANDS)
-                       if n_rows else default_n_buckets())
-    bpow = (1 << np.arange(LSH_NDP_ROWS)).astype(np.uint16)
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        pl = ray.get(pref)
-        raw = _mat(t["embedding"])          # float64 copy for signatures
-        m = _unit(raw)
-        n = len(m)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bits = (m @ pl.T) > 0               # (n, bands*rows)
-        bh = (bits.reshape(n, LSH_NDP_BANDS, LSH_NDP_ROWS)
-              * bpow).sum(axis=2).astype(np.uint8)   # (n, bands)
-        sig = np.ascontiguousarray(bh)
-        # raw float32 bytes: verify upcasts exactly like the parquet read
-        emb32 = np.ascontiguousarray(raw.astype(np.float32))
-        band = np.tile(np.arange(LSH_NDP_BANDS, dtype=np.int64), n)
-        key = band * 256 + bh.reshape(-1).astype(np.int64)
-        out = pa.table({
-            "vec_id": pa.array(np.repeat(ids, LSH_NDP_BANDS)),
-            "band": pa.array(band),
-            "key": pa.array(key),
-            # NOTE: plain list repetition — np.repeat over a bytes list
-            # coerces to numpy 'S' dtype, which silently STRIPS trailing
-            # null bytes from signatures/embeddings
-            "sig": pa.array(
-                [s for s in (sig[i].tobytes() for i in range(n))
-                 for _ in range(LSH_NDP_BANDS)], pa.binary()),
-            "emb": pa.array(
-                [e for e in (emb32[i].tobytes() for i in range(n))
-                 for _ in range(LSH_NDP_BANDS)], pa.binary()),
-        })
-        return out.append_column(
-            "_bucket", pa.array(_int_bucket(key, nb)))
-
-    empty = _EMPTY_VPAIRS.empty_table()
-
-    def verify_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return empty
-        key = t["key"].to_numpy(zero_copy_only=False)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((vid, key))
-        key, vid = key[order], vid[order]
-        band = t["band"].to_numpy(zero_copy_only=False)[order]
-        sig = np.frombuffer(
-            b"".join(t["sig"].to_pylist()),
-            dtype=np.uint8).reshape(t.num_rows, LSH_NDP_BANDS)[order]
-        emb = np.frombuffer(
-            b"".join(t["emb"].to_pylist()),
-            dtype=np.float32).reshape(t.num_rows, -1)[order]
-        from .dedup import _all_run_pairs
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        lens = np.diff(np.r_[starts, len(key)])
-        ia, ib = _all_run_pairs(starts, lens.astype(np.int64), len(key))
-        if not len(ia):
-            return empty
-        # first-matching-band ownership: keep a pair only where NO earlier
-        # band's hashes agree (each pair is then emitted exactly once
-        # globally, no dedup exchange needed)
-        bcur = band[ia]
-        eq = sig[ia] == sig[ib]                        # (npairs, bands)
-        earlier = np.arange(LSH_NDP_BANDS)[None, :] < bcur[:, None]
-        own = ~(eq & earlier).any(axis=1)
-        ia, ib = ia[own], ib[own]
-        out_a, out_b = [], []
-        for s in range(0, len(ia), _NDP_VERIFY_CHUNK):
-            ca, cb = ia[s:s + _NDP_VERIFY_CHUNK], ib[s:s + _NDP_VERIFY_CHUNK]
-            ua = _unit(emb[ca].astype(np.float64))
-            ub = _unit(emb[cb].astype(np.float64))
-            sim = np.einsum("ij,ij->i", ua, ub)
-            hit = sim >= threshold
-            a, b = vid[ca[hit]], vid[cb[hit]]
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
-        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return pa.table({"vec_a": pa.array(a, pa.int64()),
-                         "vec_b": pa.array(b, pa.int64())})
-
-    banded = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        band_rows, batch_format="pyarrow", batch_size=2048)
-    return wave_group_reduce(banded, "_bucket", nb, verify_bucket)
+    e1 = _norm([e1_t.remote(b, nb, pref) for b in blocks], nb)
+    w2 = _norm([w2_t.remote(nb, *[s[j] for s in e1]) for j in range(nb)], nb)
+    w3 = [w3_t.remote(nb, j, *[w[j] for w in w2]) for j in range(nb)]
+    pair_refs = [r[0] for r in w3]
+    req_slices = [r[1:] for r in w3]
+    d1 = _norm([d1_t.remote(b, nb, dim) for b in blocks], nb)
+    w4 = _norm([w4_t.remote(nb, len(d1), dim,
+                            *[s[k] for s in d1],
+                            *[req_slices[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
+    return ray.data.from_arrow_refs(
+        [w5_t.remote(threshold, dim, pair_refs[j],
+                     *[w4[k][j] for k in range(nb)])
+         for j in range(nb)])
 
 
 def _windowed_submit(thunks, window: int):

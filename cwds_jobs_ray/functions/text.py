@@ -73,11 +73,65 @@ def lang_id(batch: pa.Table) -> pa.Table:
     })
 
 
+def _utf8_buffer_slices(col):
+    """Per-chunk (n, offsets, data-memoryview) over a string column's UTF-8
+    buffers — rows are hashed as memoryview slices of the Arrow data buffer,
+    so no Python string is ever materialized (Arrow already stores UTF-8;
+    the old ``to_pylist`` + ``str.encode`` path decoded and re-encoded every
+    row before hashing)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        width, dt = (8, np.int64) if pa.types.is_large_string(ch.type) \
+            else (4, np.int32)
+        offs = np.frombuffer(ch.buffers()[1], dtype=dt, count=len(ch) + 1,
+                             offset=ch.offset * width)
+        data = memoryview(ch.buffers()[2] or b"")
+        yield len(ch), offs, data
+
+
+def md5_prefix_mod(col, mod: int) -> np.ndarray:
+    """int(md5(text).hexdigest()[:8], 16) % mod per row — the content-hash
+    bucketing primitive of the split/sample operators. The first 8 hex
+    digits ARE the first 4 digest bytes big-endian, so this hashes the raw
+    UTF-8 buffer slice and never builds hex strings. md5 itself is the
+    oracle contract (DuckDB md5()); hashing stays C-level per row."""
+    n = len(col)
+    out = np.empty(n, np.int64)
+    i = 0
+    for cn, offs, data in _utf8_buffer_slices(col):
+        for j in range(cn):
+            out[i] = int.from_bytes(
+                hashlib.md5(data[offs[j]:offs[j + 1]]).digest()[:4],
+                "big") % mod
+            i += 1
+    return out
+
+
+def md5_hex_rows(col, id_prefix: np.ndarray | None = None) -> list[str]:
+    """md5 hex per row over the raw UTF-8 buffer slices; with
+    ``id_prefix``, row i hashes ``f"{id_prefix[i]}|" + text`` (the
+    deterministic-shuffle key) without building the concatenated string."""
+    out: list[str] = []
+    i = 0
+    for cn, offs, data in _utf8_buffer_slices(col):
+        if id_prefix is None:
+            for j in range(cn):
+                out.append(hashlib.md5(data[offs[j]:offs[j + 1]]).hexdigest())
+        else:
+            for j in range(cn):
+                h = hashlib.md5(b"%d|" % id_prefix[i])
+                h.update(data[offs[j]:offs[j + 1]])
+                out.append(h.hexdigest())
+                i += 1
+    return out
+
+
 def md5_fingerprint(batch: pa.Table) -> pa.Table:
-    """Content fingerprint (md5 hex). Per-row hashing is C-speed hashlib;
-    for pure-vectorized scale use the SimHash below."""
-    texts = batch["text"].to_pylist()
-    fp = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    """Content fingerprint (md5 hex). Hashing is C-speed hashlib over raw
+    Arrow buffer slices; for pure-vectorized scale use the SimHash below."""
+    fp = md5_hex_rows(batch["text"])
     return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fp, pa.string())})
 
 

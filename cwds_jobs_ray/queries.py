@@ -1502,17 +1502,21 @@ def embedding_neardup_lsh(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def shift(t: pa.Table) -> pa.Table:
+    def mirror(t: pa.Table) -> pa.Table:
+        # one pass emits original + shifted copy — a Dataset.union here
+        # fragments the input into tiny blocks that multiply wave overhead
         v = t["vec_id"].to_numpy(zero_copy_only=False) + MIRROR_OFFSET
-        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
-                            pa.array(v, pa.int64()))
+        shifted = t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
+                               pa.array(v, pa.int64()))
+        return pa.concat_tables([t, shifted])
 
-    mirrored = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    mirrored = ds.map_batches(mirror, batch_format="pyarrow")
     import pyarrow.parquet as pq
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     n = pf.metadata.num_rows * 2
-    first = _read(sf_dir, "embeddings", columns=["embedding"]).take(1)
-    d = len(first[0]["embedding"])
+    # dim from one row-group read of one row — never a Dataset execution
+    d = len(next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+            .column("embedding")[0])
     pairs = cosine_neardup_lsh(mirrored, LSH_NDP_THRESHOLD, dim=d, n_rows=n)
     if pairs.count() == 0:
         return _EMPTY_VPAIRS.empty_table().to_pandas()
@@ -1631,11 +1635,8 @@ def train_val_split(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def split(t: pa.Table) -> pa.Table:
-        import hashlib
-        h = np.fromiter(
-            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 20
-             for x in t["text"].to_pylist()),
-            dtype=np.int64, count=t.num_rows)
+        from .functions.text import md5_prefix_mod
+        h = md5_prefix_mod(t["text"], 20)
         lab = np.where(h == 0, "val", "train")
         return pa.table({"doc_id": t["doc_id"],
                          "split": pa.array(lab, pa.string())})
@@ -1652,9 +1653,9 @@ def deterministic_shuffle(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def key(t: pa.Table) -> pa.Table:
-        import hashlib
-        k = [hashlib.md5(f"{i}|{x}".encode()).hexdigest()
-             for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+        from .functions.text import md5_hex_rows
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = md5_hex_rows(t["text"], id_prefix=ids)
         return pa.table({"doc_id": t["doc_id"], "shuffle_key": pa.array(k)})
 
     keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=4096)
@@ -1880,11 +1881,8 @@ def stratified_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def sample(t: pa.Table) -> pa.Table:
-        import hashlib
-        h = np.fromiter(
-            (int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 100
-             for x in t["text"].to_pylist()),
-            dtype=np.int64, count=t.num_rows)
+        from .functions.text import md5_prefix_mod
+        h = md5_prefix_mod(t["text"], 100)
         langs = t["lang"].to_pylist()
         rate = np.fromiter(
             (STRAT_RATE.get(lg, STRAT_DEFAULT_RATE) for lg in langs),
