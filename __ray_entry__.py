@@ -205,6 +205,52 @@ def _transcript_view_ivm_oracle_sql() -> str:
     """
 
 
+def _transcript_view_ivm_by_role(sf_dir: str):
+    """The GENERIC declarative view (MaterializedView) graded end-to-end
+    with a MUTABLE group key: GROUP BY role, where the WAL's U events flip
+    roles, so maintenance must move rows between groups as +post/-prev
+    contribution pairs (DBSP-style insert/retract). Build at the half-WAL
+    version, drain the rest, refresh from the feed, return the view."""
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.pipelines.views import (Count, MaterializedView, Sum,
+                                               SumLen)
+
+    work = _replay_workload(sf_dir)
+    _half, wal_a = _cdf_wal_halves(work)
+    table_dir = f"{work}/table_ivmrole"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    job_a = CDCJob(table_dir, wal_a, num_partitions=16,
+                   events_per_batch=2_000_000)
+    job_a.run(base_path=f"{work}/base/base.parquet")
+
+    def spec(job):
+        return MaterializedView(job, name="role_stats", key="role",
+                                aggs={"n_turns": Count(),
+                                      "sum_turn_idx": Sum("turn_idx"),
+                                      "n_chars": SumLen("text")},
+                                num_partitions=4)
+
+    spec(job_a).full_build()
+    job_b = CDCJob(table_dir, f"{work}/wal", num_partitions=16,
+                   events_per_batch=2_000_000)
+    job_b.run()
+    view = spec(job_b)
+    view.refresh()
+    return view.read()
+
+
+def _transcript_view_ivm_by_role_oracle_sql() -> str:
+    """From-scratch GROUP BY role of the final replay state."""
+    live = _transcript_replay_oracle_sql()
+    return f"""
+        WITH live AS ({live})
+        SELECT role, COUNT(*) AS n_turns,
+               CAST(SUM(turn_idx) AS BIGINT) AS sum_turn_idx,
+               CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+        FROM live GROUP BY role
+    """
+
+
 def _transcript_change_feed_oracle_sql() -> str:
     """SQL reformulation of the feed: the LWW live state cut at the run-A
     watermark (max lsn over the first-half segment files — the applied set
@@ -302,6 +348,8 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "transcript_view_ivm_by_role",
+    "fuzzy_pairs_edit2",
     "transcript_change_feed",
     "transcript_time_range_read",
     "transcript_view_ivm",
@@ -333,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     full["transcript_change_feed"] = _transcript_change_feed
     full["transcript_time_range_read"] = _transcript_time_range_read
     full["transcript_view_ivm"] = _transcript_view_ivm
+    full["transcript_view_ivm_by_role"] = _transcript_view_ivm_by_role
     # never-driver-graded rows first so a prefix sample covers them
     out = {k: full[k] for k in _NEVER_DRIVER_GRADED if k in full}
     out.update(full)
@@ -560,5 +609,6 @@ def oracle_sql() -> dict[str, str]:
     out["transcript_change_feed"] = _transcript_change_feed_oracle_sql()
     out["transcript_time_range_read"] = _transcript_time_range_oracle_sql()
     out["transcript_view_ivm"] = _transcript_view_ivm_oracle_sql()
+    out["transcript_view_ivm_by_role"] = _transcript_view_ivm_by_role_oracle_sql()
     out.update(_golden_oracle_sqls())
     return out

@@ -98,6 +98,11 @@ def _emit_neighborhood(t: pa.Table, id_col: str, str_col: str,
                        nb: int) -> pa.Table:
     """One block -> (key, id, s, self, _bucket) rows: the identity entry
     plus one entry per 1-deletion variant, (key, id)-deduped."""
+    if t.num_rows:
+        # SQL null semantics: levenshtein(NULL, x) is NULL -> excluded, so
+        # null strings emit no neighborhood rows (np.asarray(dtype=str)
+        # would otherwise turn None into the literal 'None' and pair it)
+        t = t.filter(t[str_col].combine_chunks().is_valid())
     if t.num_rows == 0:
         return pa.schema([("key", pa.int64()), ("id", pa.int64()),
                           ("s", pa.string()), ("self", pa.bool_()),
@@ -212,6 +217,186 @@ def _reduce_bucket(t: pa.Table) -> pa.Table:
     df2 = pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
     return pa.table({"id_a": pa.array(df2["id_a"].to_numpy(), pa.int64()),
                      "id_b": pa.array(df2["id_b"].to_numpy(), pa.int64())})
+
+
+def _lev_le_mask(sa: np.ndarray, sb: np.ndarray, dmax: int) -> np.ndarray:
+    """Vectorized exact check ed(sa[i], sb[i]) <= dmax across all pairs at
+    once: Ukkonen-banded Levenshtein DP (band half-width dmax, so each DP
+    row is a (n_pairs, 2*dmax+1) slab), all transitions numpy. Values are
+    clipped at dmax+1 — anything past the band is 'too far' and the clip
+    keeps the int16 arithmetic exact. O(Lmax * (2*dmax+1)) vectorized ops
+    regardless of pair count."""
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, bool)
+    ma, la = _byte_matrix(sa)
+    mb, lb = _byte_matrix(sb)
+    INF = np.int16(dmax + 1)
+    W = 2 * dmax + 1
+    res = np.full(n, INF, np.int16)
+    dp = np.full((n, W), INF, np.int16)
+    for o in range(dmax, W):
+        j = o - dmax                     # row i=0: dp[0, j] = j
+        dp[:, o] = np.where(j <= lb, np.int16(min(j, int(INF))), INF)
+    sel = la == 0
+    if sel.any():
+        res[sel] = np.minimum(lb[sel], int(INF)).astype(np.int16)
+    Lmax = int(la.max()) if n else 0
+    La, Lb = ma.shape[1], mb.shape[1]
+    zeros_a = np.zeros(n, ma.dtype)
+    for i in range(1, Lmax + 1):
+        ai = ma[:, i - 1] if i - 1 < La else zeros_a
+        new = np.full((n, W), INF, np.int16)
+        for o in range(W):
+            j = i + o - dmax
+            if j < 0:
+                continue
+            if j == 0:                   # dp[i, 0] = i (deletions only)
+                new[:, o] = np.int16(min(i, int(INF)))
+                continue
+            bj = mb[:, j - 1] if j - 1 < Lb else zeros_a
+            v = dp[:, o] + (ai != bj)               # diag dp[i-1, j-1]
+            if o + 1 < W:
+                v = np.minimum(v, dp[:, o + 1] + 1)  # up dp[i-1, j]
+            if o - 1 >= 0:
+                v = np.minimum(v, new[:, o - 1] + 1)  # left dp[i, j-1]
+            np.minimum(v, INF, out=v)
+            new[:, o] = np.where(j <= lb, v, INF)
+        dp = new
+        sel = la == i
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            o = lb[idx] - i + dmax
+            val = np.full(len(idx), INF, np.int16)
+            inb = (o >= 0) & (o < W)
+            val[inb] = dp[idx[inb], o[inb]]
+            res[idx] = val
+    return res <= dmax
+
+
+def _emit_neighborhood2(t: pa.Table, id_col: str, str_col: str,
+                        nb: int) -> pa.Table:
+    """One block -> (key, id, s, _bucket) rows for ed<=2: identity entry
+    plus every 1-deletion and 2-deletion variant, (key, id)-deduped. No
+    ownership flags — exactly-once is enforced by the downstream pair-bucket
+    dedup wave (the per-shape ownership argument that makes ed1 single-pass
+    does not generalize to two edits)."""
+    if t.num_rows:
+        t = t.filter(t[str_col].combine_chunks().is_valid())
+    if t.num_rows == 0:
+        return pa.schema([("key", pa.int64()), ("id", pa.int64()),
+                          ("s", pa.string()),
+                          ("_bucket", pa.int64())]).empty_table()
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    strs = t[str_col].to_numpy(zero_copy_only=False)
+    mat, lens = _byte_matrix(strs)
+    keys = [_row_hash(mat, lens)]
+    row_ix = [np.arange(len(ids), dtype=np.int64)]
+    Lmax = mat.shape[1]
+    for p in range(Lmax):                       # 1-deletion variants
+        alive = np.flatnonzero(lens > p)
+        if not len(alive):
+            break
+        var = np.delete(mat[alive], p, axis=1)
+        if var.shape[1] == 0:
+            var = np.zeros((len(alive), 1), np.uint32)
+        keys.append(_row_hash(var, lens[alive] - 1))
+        row_ix.append(alive)
+    for p in range(Lmax):                       # 2-deletion variants
+        for q in range(p + 1, Lmax):
+            alive = np.flatnonzero(lens > q)
+            if not len(alive):
+                break
+            var = np.delete(mat[alive], [p, q], axis=1)
+            if var.shape[1] == 0:
+                var = np.zeros((len(alive), 1), np.uint32)
+            keys.append(_row_hash(var, lens[alive] - 2))
+            row_ix.append(alive)
+    key = np.concatenate(keys)
+    ix = np.concatenate(row_ix)
+    order = np.lexsort((key, ids[ix]))
+    key, ix = key[order], ix[order]
+    keep = np.r_[True, (key[1:] != key[:-1]) | (ids[ix][1:] != ids[ix][:-1])]
+    key, ix = key[keep], ix[keep]
+    return pa.table({
+        "key": pa.array(key),
+        "id": pa.array(ids[ix]),
+        "s": pa.array(np.asarray(strs)[ix].tolist(), pa.string()),
+        "_bucket": pa.array(_int_bucket(key, nb)),
+    })
+
+
+def _verify_bucket_ed2(nb2: int, t: pa.Table) -> pa.Table:
+    """Per key bucket: candidate pairs from key runs, locally deduped, then
+    EXACT banded-Levenshtein verify; emits verified int pairs partitioned
+    by pair-bucket hash for the global dedup wave."""
+    empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("_pbucket", pa.int64())]).empty_table()
+    if t.num_rows == 0:
+        return empty
+    df = t.to_pandas().sort_values("key", kind="stable")
+    key = df["key"].to_numpy()
+    new = np.r_[True, key[1:] != key[:-1]]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.r_[starts, len(key)])
+    ia, ib = _all_run_pairs(starts.astype(np.int64), lens.astype(np.int64),
+                            len(key))
+    if len(ia) == 0:
+        return empty
+    ids = df["id"].to_numpy()
+    keep = ids[ia] != ids[ib]
+    ia, ib = ia[keep], ib[keep]
+    if not len(ia):
+        return empty
+    # local pre-dedup: the same pair reachable through several shared keys
+    # in THIS bucket verifies once (global dedup is the pair wave's job)
+    lo = np.minimum(ids[ia], ids[ib])
+    hi = np.maximum(ids[ia], ids[ib])
+    first = pd.DataFrame({"lo": lo, "hi": hi}).groupby(
+        ["lo", "hi"], sort=False).head(1).index.to_numpy()
+    ia, ib, lo, hi = ia[first], ib[first], lo[first], hi[first]
+    strs = df["s"].to_numpy()
+    ok = _lev_le_mask(strs[ia], strs[ib], 2)
+    lo, hi = lo[ok], hi[ok]
+    from .dedup import _pair_bucket
+    return pa.table({"id_a": pa.array(lo, pa.int64()),
+                     "id_b": pa.array(hi, pa.int64()),
+                     "_pbucket": pa.array(_pair_bucket(lo, hi, nb2))})
+
+
+def _dedup_pairs_bucket(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    from .dedup import _unique_pairs
+    a, b = _unique_pairs(t["id_a"].to_numpy(zero_copy_only=False),
+                         t["id_b"].to_numpy(zero_copy_only=False))
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64())})
+
+
+def edit2_pairs(ds: ray.data.Dataset, id_col: str, str_col: str,
+                n_buckets: int | None = None) -> ray.data.Dataset:
+    """All unordered id pairs whose strings are within Levenshtein
+    distance 2 (including exact duplicates), each pair exactly once.
+
+    SymSpell with 2-deletion neighborhoods: ed(a,b) <= 2 implies the
+    <=2-deletion neighborhoods intersect, so shared-key runs contain every
+    true pair; the banded-DP verify rejects the false candidates exactly.
+    Exchange payload is the string x (1 + L + L(L-1)/2) neighborhood rows —
+    the standard SymSpell sharding cost, quadratic in the KEY length, so
+    this operator targets name/key fields, not document bodies. Verified
+    pairs then cross ONE int-only pair-bucket wave for global dedup
+    (a pair can be found under many shared keys)."""
+    from .dedup import default_n_buckets
+    nb = n_buckets or default_n_buckets()
+
+    def emit(t: pa.Table) -> pa.Table:
+        return _emit_neighborhood2(t, id_col, str_col, nb)
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
+    cand = wave_group_reduce(rows, "_bucket", nb,
+                             lambda t: _verify_bucket_ed2(nb, t))
+    return wave_group_reduce(cand, "_pbucket", nb, _dedup_pairs_bucket)
 
 
 def edit1_pairs(ds: ray.data.Dataset, id_col: str, str_col: str,

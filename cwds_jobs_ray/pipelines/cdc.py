@@ -1164,6 +1164,9 @@ class CDCJob:
                     else self._load_manifest_or_raise())
         full = self._disk_schema(manifest)
         cols = columns or [f.name for f in full if f.name != "op"]
+        # the final key filter needs conv_id in the read set; read it even
+        # when the caller's projection omits it, then drop it on return
+        read_cols = cols if "conv_id" in cols else ["conv_id", *cols]
         part = int(partition_ids(pa.array([conv_id]),
                                  manifest.num_partitions)[0])
         p = manifest.part(part)
@@ -1172,8 +1175,9 @@ class CDCJob:
         # key_eq pushes the equality into parquet row-group pruning (files
         # are key-sorted), so a point read touches ~one row group per file
         t = merge_on_read(self.table_dir, p.file, list(p.delta_files),
-                          full, cols, manifest.merge_policy, key_eq=conv_id)
-        return t.filter(pc.equal(t["conv_id"], conv_id))
+                          full, read_cols, manifest.merge_policy,
+                          key_eq=conv_id)
+        return t.filter(pc.equal(t["conv_id"], conv_id)).select(cols)
 
     def vacuum(self, keep_last: int = 2):
         """Drop all but the newest ``keep_last`` retained version snapshots

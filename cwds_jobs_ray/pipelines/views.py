@@ -1,37 +1,50 @@
-"""Incrementally-maintained materialized view over a CDC lake table,
+"""Incrementally-maintained materialized views over a CDC lake table,
 driven by the change data feed (``CDCJob.read_changes``).
 
-The view here is per-conversation statistics: ``(conv_id, n_turns,
-n_assistant, n_chars)`` — live turn count, live assistant-role turn
-count, and total live text length (a true SUM aggregate). All are
-maintainable purely from the feed:
+``MaterializedView`` is the general operator: a declarative spec — a
+string GROUP-BY key plus named SUM-like aggregates (``Count``,
+``CountIf``, ``SumLen``, ``Sum``) — compiled onto one incremental
+kernel. Every feed row becomes at most two *contributions* in the
+insert/retract style of Z-sets (Budiu et al., "DBSP", VLDB 2023 —
+public literature):
 
-- I: ``n_turns += 1``; ``n_assistant += (role == 'assistant')``;
-  ``n_chars += len(text)``
-- D: the mirror decrements (the feed's D payload is the pre-image)
-- U: ``n_turns += 0``; ``n_assistant += (role == 'assistant') -
-  (prev_role == 'assistant')``; ``n_chars += len(text) -
-  len(prev_text)`` — this is exactly why the feed carries Debezium-style
-  before-images on U rows; without ``prev_role``/``prev_text`` neither
-  the attribute-dependent count nor any payload SUM could be
-  maintained.
+- ``I``: +measures(post-image) to the post group
+- ``D``: -measures(payload)    to the payload group (the feed's D
+  payload IS the last-known pre-image)
+- ``U``: +measures(post-image) to the post group AND
+  -measures(before-image) to the before group — the Debezium-style
+  ``prev_*`` columns the feed carries on U rows are exactly what makes
+  this single subtraction possible; they also let the view GROUP BY a
+  *mutable* attribute (a role flip moves the row between groups as one
+  +1/-1 pair).
 
-Non-incrementalizable aggregates (max/min over mutable attributes — a
-delete can lower a max) are out of scope by design; use ``full_build``.
+Group-summing contributions is then an ordinary keyed reduce; an
+internal ``_live`` weight (sum of +1/-1) drops groups whose live row
+count reaches zero. Non-incrementalizable aggregates (max/min over
+mutable attributes — a delete can lower a max) are out of scope by
+design; use ``full_build``.
 
-Scale shape: the view is hash-partitioned by conv_id into its OWN pinned
-partition count (independent of table reshards). ``refresh`` groups the
-feed by view partition with the same direct wave exchange every keyed
-final uses and rewrites ONLY partitions that received changes — cost
-tracks the delta, not the view. ``full_build`` partials per block then
-reduces per view partition. Commit mirrors the table protocol: immutable
-``p{i}.v{N}.parquet`` files + an atomically replaced ``view.json`` naming
-(applied_version, files); refresh is idempotent (same applied version is
-a no-op) and a crash before the json swap leaves only uncommitted files,
-removed on the next commit's cleanup.
+``ConvStatsView`` — per-conversation ``(n_turns, n_assistant,
+n_chars)`` — is now just one spec:
+``MaterializedView(job, key="conv_id", aggs={"n_turns": Count(),
+"n_assistant": CountIf("role", "assistant"), "n_chars":
+SumLen("text")})``.
 
-Reference anchor: the downstream consumer keeping a derived store in sync
-by polling changed ids
+Scale shape: the view is hash-partitioned by its group key into its OWN
+pinned partition count (independent of table reshards). ``refresh``
+groups the feed's contributions by view partition with the same direct
+wave exchange every keyed final uses and rewrites ONLY partitions that
+received changes — cost tracks the delta, not the view. ``full_build``
+partials per block then reduces per view partition. Commit mirrors the
+table protocol: immutable ``p{i}.v{N}.parquet`` files + an atomically
+replaced ``view.json`` naming (applied_version, files); refresh is
+idempotent (same applied version is a no-op), a crash before the json
+swap leaves only uncommitted files (removed on the next commit's
+cleanup), and a refresh whose applied snapshot has been vacuumed falls
+back to a full rebuild.
+
+Reference anchor: the downstream consumer keeping a derived store in
+sync by polling changed ids
 (/root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/entity/ChangedEntityService.java)
 — here the derived store is updated exactly and transactionally against
 table versions.
@@ -53,62 +66,76 @@ from ..stages.partition import partition_ids
 from ..stages.waves import wave_group_reduce
 from .cdc import CDCJob
 
-VIEW_SCHEMA = pa.schema([("conv_id", pa.string()),
-                         ("n_turns", pa.int64()),
-                         ("n_assistant", pa.int64()),
-                         ("n_chars", pa.int64())])
-
-_PARTIAL_SCHEMA = pa.schema([("conv_id", pa.string()),
-                             ("one", pa.int64()), ("asst", pa.int64()),
-                             ("chars", pa.int64()),
-                             ("_bucket", pa.int64())])
-
-_AGG = ["one", "asst", "chars"]
+# ----------------------------------------------------------- aggregate spec
 
 
-def _chars(col) -> "np.ndarray":
-    import pyarrow.compute as pc
-    return pc.fill_null(pc.utf8_length(col), 0) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+class Agg:
+    """A SUM-like aggregate: a per-row int64/float64 measure whose group
+    sum is the aggregate value. Linearity in the row multiset is what
+    makes it exactly maintainable from insert/retract contributions."""
+
+    cols: tuple[str, ...] = ()
+    dtype = np.int64
+
+    def measure(self, get) -> np.ndarray:
+        """Per-row measure. ``get(col)`` returns the pyarrow column to
+        read — the caller points it at post-image, pre-image payload, or
+        ``prev_*`` columns as the change type requires."""
+        raise NotImplementedError
 
 
-def _block_stats(t: pa.Table) -> pd.DataFrame:
-    df = pd.DataFrame({
-        "conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
-        "one": np.ones(t.num_rows, np.int64),
-        "asst": (t["role"].to_numpy(zero_copy_only=False)
-                 == "assistant").astype(np.int64),
-        "chars": _chars(t["text"])})
-    return df.groupby("conv_id", sort=False).sum().reset_index()
+class Count(Agg):
+    """COUNT(*) of live rows in the group."""
+
+    def __init__(self):
+        self._n = None
+
+    def measure(self, get) -> np.ndarray:
+        return np.ones(self._n, np.int64)
 
 
-def _delta_counts(t: pa.Table) -> pd.DataFrame:
-    """Feed rows -> per-conv (d_turns, d_assistant, d_chars)."""
-    ct = t["change_type"].to_numpy(zero_copy_only=False)
-    sign = np.where(ct == "I", 1, np.where(ct == "D", -1, 0))
-    role = t["role"].to_numpy(zero_copy_only=False)
-    prev = t["prev_role"].to_numpy(zero_copy_only=False)
-    is_u = ct == "U"
-    d_asst = np.where(is_u, (role == "assistant").astype(np.int64)
-                      - (prev == "assistant").astype(np.int64),
-                      sign * (role == "assistant").astype(np.int64))
-    ch, pch = _chars(t["text"]), _chars(t["prev_text"])
-    d_chars = np.where(is_u, ch - pch, sign * ch)
-    df = pd.DataFrame({"conv_id": t["conv_id"].to_numpy(zero_copy_only=False),
-                       "one": sign.astype(np.int64), "asst": d_asst,
-                       "chars": d_chars})
-    return df.groupby("conv_id", sort=False).sum().reset_index()
+class CountIf(Agg):
+    """COUNT(*) FILTER (WHERE col = value)."""
+
+    def __init__(self, col: str, value: str):
+        self.cols = (col,)
+        self.value = value
+
+    def measure(self, get) -> np.ndarray:
+        v = get(self.cols[0]).to_numpy(zero_copy_only=False)
+        return (v == self.value).astype(np.int64)
 
 
-def _stats_to_table(df: pd.DataFrame) -> pa.Table:
-    df = df.sort_values("conv_id", kind="stable")
-    return pa.table({"conv_id": pa.array(df["conv_id"].to_numpy(),
-                                         pa.string()),
-                     "n_turns": pa.array(df["one"].to_numpy(), pa.int64()),
-                     "n_assistant": pa.array(df["asst"].to_numpy(),
-                                             pa.int64()),
-                     "n_chars": pa.array(df["chars"].to_numpy(),
-                                         pa.int64())})
+class SumLen(Agg):
+    """SUM(length(col)) over a string column, nulls counting 0."""
+
+    def __init__(self, col: str):
+        self.cols = (col,)
+
+    def measure(self, get) -> np.ndarray:
+        import pyarrow.compute as pc
+        return pc.fill_null(pc.utf8_length(get(self.cols[0])), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+class Sum(Agg):
+    """SUM(col) over a numeric column, nulls counting 0. ``dtype``
+    selects int64 (exact, order-independent) or float64 (refresh and
+    rebuild may then differ by float addition order)."""
+
+    def __init__(self, col: str, dtype=np.int64):
+        self.cols = (col,)
+        self.dtype = dtype
+
+    def measure(self, get) -> np.ndarray:
+        import pyarrow.compute as pc
+        return pc.fill_null(get(self.cols[0]), 0) \
+            .to_numpy(zero_copy_only=False).astype(self.dtype)
+
+
+# -------------------------------------------------------------- view kernel
+
+_LIVE = "_live"  # internal +1/-1 weight sum; a group dies when it hits 0
 
 
 def _write_view_partition(view_dir: str, rel: str, t: pa.Table) -> str:
@@ -116,35 +143,131 @@ def _write_view_partition(view_dir: str, rel: str, t: pa.Table) -> str:
     return rel
 
 
-def _apply_view_delta(view_dir: str, old_rel: str | None, rel: str,
+def _apply_view_delta(view_dir: str, schema: pa.Schema, key: str,
+                      old_rel: str | None, rel: str,
                       d: pa.Table) -> str | None:
-    """One view partition's incremental update: old stats + delta counts,
-    drop fully-deleted conversations, write the new immutable file.
-    Returns None when the partition received no changes (its file stays)."""
+    """One view partition's incremental update: old stats + delta
+    contributions, drop groups whose live count hit zero, write the new
+    immutable file. None: partition untouched, its file stays."""
     if d.num_rows == 0:
         return None
     old = (pq.read_table(os.path.join(view_dir, old_rel))
-           if old_rel else VIEW_SCHEMA.empty_table())
-    ren = {"n_turns": "one", "n_assistant": "asst", "n_chars": "chars"}
-    merged = pd.concat(
-        [old.to_pandas().rename(columns=ren),
-         d.to_pandas().rename(columns=ren)],
-        ignore_index=True).groupby("conv_id", sort=False)[
-            _AGG].sum().reset_index()
-    merged = merged[merged["one"] > 0]  # fully-deleted convs drop out
-    write_atomic(_stats_to_table(merged), os.path.join(view_dir, rel))
+           if old_rel else schema.empty_table())
+    cols = [f.name for f in schema if f.name != key]
+    both = pd.concat([old.to_pandas(), d.to_pandas()], ignore_index=True)
+    merged = both.groupby(key, sort=False)[cols].sum().reset_index()
+    merged = merged[merged[_LIVE] > 0].sort_values(key, kind="stable")
+    out = pa.Table.from_pandas(merged, schema=schema, preserve_index=False)
+    write_atomic(out, os.path.join(view_dir, rel))
     return rel
 
 
-class ConvStatsView:
-    def __init__(self, job: CDCJob, name: str = "conv_stats",
-                 num_partitions: int = 8):
+class MaterializedView:
+    """Exactly-maintained GROUP-BY view: ``SELECT key, <aggs> FROM table
+    GROUP BY key`` kept in sync with the lake table via the change feed.
+    ``key`` must be a string column; it may be mutable (see module doc).
+    """
+
+    def __init__(self, job: CDCJob, name: str, key: str,
+                 aggs: dict[str, Agg], num_partitions: int = 8):
+        if not aggs:
+            raise ValueError("need at least one aggregate")
+        bad = [n for n in aggs if n == key or n == _LIVE]
+        if bad:
+            raise ValueError(f"aggregate names collide: {bad}")
         self.job = job
         self.name = name
+        self.key = key
+        self.aggs = dict(aggs)
         self.dir = os.path.join(job.table_dir, "views", name)
         self.num_partitions = num_partitions
+        self._read_cols = sorted({key, *(c for a in aggs.values()
+                                         for c in a.cols)})
+        self._names = list(self.aggs)
 
-    # -- state -------------------------------------------------------------
+    # -- per-block kernels ---------------------------------------------------
+    def _measures(self, t: pa.Table, get) -> dict[str, np.ndarray]:
+        out = {}
+        for name, agg in self.aggs.items():
+            if isinstance(agg, Count):
+                agg._n = t.num_rows
+            out[name] = agg.measure(get)
+        return out
+
+    def _partial_schema(self) -> pa.Schema:
+        return pa.schema([(self.key, pa.string()),
+                          (_LIVE, pa.int64()),
+                          *[(n, pa.from_numpy_dtype(self.aggs[n].dtype))
+                            for n in self._names],
+                          ("_bucket", pa.int64())])
+
+    def _group_sum(self, df: pd.DataFrame, bucket: bool) -> pa.Table:
+        cols = [_LIVE, *self._names]
+        g = df.groupby(self.key, sort=False)[cols].sum().reset_index()
+        if bucket:
+            g["_bucket"] = partition_ids(
+                g[self.key].to_numpy(), self.num_partitions)
+        out_schema = self._partial_schema() if bucket else self._view_schema()
+        return pa.Table.from_pandas(g, schema=out_schema,
+                                    preserve_index=False)
+
+    def _block_partial(self, t: pa.Table) -> pa.Table:
+        """Full-build side: every live row is one +1 contribution."""
+        if t.num_rows == 0:
+            return self._partial_schema().empty_table()
+        df = pd.DataFrame({
+            self.key: t[self.key].to_numpy(zero_copy_only=False),
+            _LIVE: np.ones(t.num_rows, np.int64),
+            **self._measures(t, lambda c: t[c])})
+        return self._group_sum(df, bucket=True)
+
+    def _feed_partial(self, t: pa.Table) -> pa.Table:
+        """Feed side: I/U rows contribute +post to the post group, D/U
+        rows contribute -pre to the before group (payload for D, prev_*
+        for U)."""
+        if t.num_rows == 0:
+            return self._partial_schema().empty_table()
+        ct = t["change_type"].to_numpy(zero_copy_only=False)
+        ins = (ct == "I") | (ct == "U")
+        is_d, is_u = ct == "D", ct == "U"
+        ret = is_d | is_u
+
+        def prev_get(c):
+            # U rows read prev_<c>; for the key column the feed only
+            # carries prev_* when the attribute is payload (a table key
+            # like conv_id cannot change, so post == prev there)
+            pc_ = "prev_" + c
+            return t[pc_] if pc_ in t.column_names else t[c]
+
+        post = self._measures(t, lambda c: t[c])
+        prev = self._measures(t, prev_get)
+        post_key = t[self.key].to_numpy(zero_copy_only=False)
+        prev_key = prev_get(self.key).to_numpy(zero_copy_only=False)
+        key = np.concatenate([post_key[ins],
+                              np.where(is_d, post_key, prev_key)[ret]])
+        df = pd.DataFrame({
+            self.key: key,
+            _LIVE: np.concatenate([np.ones(int(ins.sum()), np.int64),
+                                   -np.ones(int(ret.sum()), np.int64)]),
+            **{n: np.concatenate(
+                [post[n][ins],
+                 -np.where(is_d, post[n], prev[n])[ret]])
+               for n in self._names}})
+        return self._group_sum(df, bucket=True)
+
+    def _view_schema(self) -> pa.Schema:
+        return pa.schema([(self.key, pa.string()),
+                          (_LIVE, pa.int64()),
+                          *[(n, pa.from_numpy_dtype(self.aggs[n].dtype))
+                            for n in self._names]])
+
+    def _reduce(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return self._view_schema().empty_table()
+        df = t.to_pandas().sort_values(self.key, kind="stable")
+        return self._group_sum(df, bucket=False)
+
+    # -- state ---------------------------------------------------------------
     def _state(self) -> dict | None:
         path = os.path.join(self.dir, "view.json")
         if not os.path.exists(path):
@@ -157,6 +280,7 @@ class ConvStatsView:
         os.makedirs(self.dir, exist_ok=True)
         state = {"applied_version": applied_version,
                  "num_partitions": num_partitions,
+                 "key": self.key, "columns": self._names,
                  "files": {str(k): v for k, v in files.items()}}
         tmp = os.path.join(self.dir, "view.json.tmp")
         with open(tmp, "w") as f:
@@ -177,45 +301,30 @@ class ConvStatsView:
         parts = [pq.read_table(os.path.join(self.dir, f))
                  for f in st["files"].values()]
         t = (pa.concat_tables(parts) if parts
-             else VIEW_SCHEMA.empty_table())
-        return t.take(pa.compute.sort_indices(t["conv_id"]))
+             else self._view_schema().empty_table())
+        t = t.drop_columns([_LIVE])
+        return t.take(pa.compute.sort_indices(t[self.key]))
 
-    # -- full rebuild --------------------------------------------------------
+    # -- full rebuild ----------------------------------------------------
     def full_build(self) -> dict:
-        """Distributed recompute at the table's current version: per-block
-        partials -> one reduce task per view partition -> immutable files +
-        atomic json swap."""
+        """Distributed recompute at the table's current version:
+        per-block partials -> one reduce task per view partition ->
+        immutable files + atomic json swap."""
         manifest = self.job._load_manifest_or_raise()
         version = manifest.table_version
-        nb = self.num_partitions
-        ds = self.job.read_table(columns=["conv_id", "role", "text"])
-
-        def partial(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return _PARTIAL_SCHEMA.empty_table()
-            g = _block_stats(t)
-            g["_bucket"] = partition_ids(g["conv_id"].to_numpy(), nb)
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-        def reduce(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return VIEW_SCHEMA.empty_table()
-            df = t.to_pandas().groupby("conv_id", sort=False)[
-                _AGG].sum().reset_index()
-            return _stats_to_table(df)
-
+        ds = self.job.read_table(columns=self._read_cols)
         out = wave_group_reduce(
-            ds.map_batches(partial, batch_format="pyarrow"),
-            "_bucket", nb, reduce)
+            ds.map_batches(self._block_partial, batch_format="pyarrow"),
+            "_bucket", self.num_partitions, self._reduce)
         os.makedirs(self.dir, exist_ok=True)
         wtask = ray.remote(_write_view_partition)
         refs = [wtask.remote(self.dir, f"p{i}.v{version}.parquet", ref)
                 for i, ref in enumerate(out.materialize().to_arrow_refs())]
         files = dict(enumerate(ray.get(refs)))
-        self._commit(version, files, nb)
+        self._commit(version, files, self.num_partitions)
         return self._state()
 
-    # -- incremental refresh -------------------------------------------------
+    # -- incremental refresh -----------------------------------------------
     def refresh(self) -> dict:
         """Apply the change feed from the view's applied version to the
         table's current version. Rewrites only view partitions that
@@ -228,30 +337,23 @@ class ConvStatsView:
         if cur == applied:
             return st
         nb = int(st["num_partitions"])
+        self.num_partitions = nb  # pinned at build time
+        from ..state.manifest import Manifest
+        if applied not in Manifest.retained_versions(self.job.table_dir):
+            # the view's applied snapshot has been vacuumed: the feed from
+            # `applied` can no longer be computed — recover with a full
+            # rebuild instead of leaving the view permanently
+            # un-refreshable
+            return self.full_build()
         feed = self.job.read_changes(applied, cur)
-
-        def partial(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return _PARTIAL_SCHEMA.empty_table()
-            g = _delta_counts(t)
-            g["_bucket"] = partition_ids(g["conv_id"].to_numpy(), nb)
-            return pa.Table.from_pandas(g, preserve_index=False)
-
-        def reduce(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return VIEW_SCHEMA.empty_table()
-            df = t.to_pandas().groupby("conv_id", sort=False)[
-                _AGG].sum().reset_index()
-            return _stats_to_table(df)
-
         deltas = wave_group_reduce(
-            feed.map_batches(partial, batch_format="pyarrow"),
-            "_bucket", nb, reduce)
+            feed.map_batches(self._feed_partial, batch_format="pyarrow"),
+            "_bucket", nb, self._reduce)
         files = {int(k): v for k, v in st["files"].items()}
         os.makedirs(self.dir, exist_ok=True)
         atask = ray.remote(_apply_view_delta)
-        pend = {i: atask.remote(self.dir, files.get(i),
-                                f"p{i}.v{cur}.parquet", ref)
+        pend = {i: atask.remote(self.dir, self._view_schema(), self.key,
+                                files.get(i), f"p{i}.v{cur}.parquet", ref)
                 for i, ref in
                 enumerate(deltas.materialize().to_arrow_refs())}
         for i, rel in zip(pend, ray.get(list(pend.values()))):
@@ -259,3 +361,22 @@ class ConvStatsView:
                 files[i] = rel
         self._commit(cur, files, nb)
         return self._state()
+
+
+class ConvStatsView(MaterializedView):
+    """Per-conversation statistics ``(conv_id, n_turns, n_assistant,
+    n_chars)`` — the original hardcoded view, now one declarative spec."""
+
+    def __init__(self, job: CDCJob, name: str = "conv_stats",
+                 num_partitions: int = 8):
+        super().__init__(job, name, key="conv_id",
+                         aggs={"n_turns": Count(),
+                               "n_assistant": CountIf("role", "assistant"),
+                               "n_chars": SumLen("text")},
+                         num_partitions=num_partitions)
+
+
+VIEW_SCHEMA = pa.schema([("conv_id", pa.string()),
+                         ("n_turns", pa.int64()),
+                         ("n_assistant", pa.int64()),
+                         ("n_chars", pa.int64())])

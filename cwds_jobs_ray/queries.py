@@ -2341,6 +2341,18 @@ def embedding_dim_stats(sf_dir: str):
     return _tree_agg(ds, partial, final)
 
 
+def fuzzy_pairs_edit2(sf_dir: str):
+    """Fuzzy self-join at edit distance <= 2: SymSpell 2-deletion
+    neighborhood keys -> per-run candidates -> vectorized banded-Levenshtein
+    exact verify -> one int-only pair-bucket dedup wave (see
+    functions/fuzzy.edit2_pairs). The SQL oracle is the O(n^2) cross-join
+    levenshtein <= 2."""
+    from .functions.fuzzy import edit2_pairs
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return edit2_pairs(ds, "c_custkey", "c_name",
+                       n_buckets=_row_sized_buckets(sf_dir, "customer"))
+
+
 def fuzzy_name_clusters(sf_dir: str):
     """Entity-resolution clusters: connected components over the
     edit-distance-1 name graph — the fuzzy pairs feed straight into the
@@ -2526,6 +2538,7 @@ QUERIES = {
     "decontaminate_against_benchmark": decontaminate_against_benchmark,
     "dup_ngram_fraction": dup_ngram_fraction,
     "fuzzy_name_clusters": fuzzy_name_clusters,
+    "fuzzy_pairs_edit2": fuzzy_pairs_edit2,
 }
 
 
@@ -2738,6 +2751,11 @@ ORACLE_SQL = {
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "fuzzy_pairs_edit2": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
     """,
     "fuzzy_name_clusters": """
         WITH RECURSIVE p AS (

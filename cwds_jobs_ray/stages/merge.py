@@ -780,13 +780,19 @@ def live_state_diff(ta: pa.Table, tb: pa.Table) -> pa.Table:
     payload = [c for c in tb.column_names if c not in ("conv_id", "turn_idx")]
     da = ta.to_pandas()
     db = tb.to_pandas()
+    # nullable Int64 BEFORE the outer merge: a plain int64 lsn would be
+    # float64-coerced by the merge (NaN for one-sided keys) and lsns above
+    # 2^53 could then compare equal, silently dropping U rows
+    da["lsn"] = da["lsn"].astype("Int64")
+    db["lsn"] = db["lsn"].astype("Int64")
     m = da.merge(db, on=["conv_id", "turn_idx"], how="outer",
                  suffixes=("_a", ""), indicator=True, sort=False)
     only_a = (m["_merge"] == "left_only").to_numpy()
     only_b = (m["_merge"] == "right_only").to_numpy()
     both = ~only_a & ~only_b
-    changed = only_a | only_b | (both & (m["lsn_a"].to_numpy(na_value=-1)
-                                         != m["lsn"].to_numpy(na_value=-2)))
+    la = m["lsn_a"].to_numpy(dtype=np.int64, na_value=-1)
+    lb = m["lsn"].to_numpy(dtype=np.int64, na_value=-2)
+    changed = only_a | only_b | (both & (la != lb))
     m = m[changed].reset_index(drop=True)
     only_a = only_a[changed]
     only_b = only_b[changed]
@@ -803,11 +809,11 @@ def live_state_diff(ta: pa.Table, tb: pa.Table) -> pa.Table:
         ca = m.get(c + "_a")
         v = (ca.where(is_u) if ca is not None
              else m[c].where(np.zeros(len(m), bool)))
-        if c == "lsn":  # keep integral through the float NaN detour
+        if c == "lsn":  # already nullable Int64; keep it integral
             v = v.astype("Int64")
         out["prev_" + c] = v
     if "lsn" in out.columns:
-        out["lsn"] = out["lsn"].to_numpy(na_value=0).astype(np.int64)
+        out["lsn"] = out["lsn"].to_numpy(dtype=np.int64, na_value=0)
     for c in ("ts", "prev_ts"):
         if c in out.columns:
             out[c] = out[c].astype("datetime64[us]")

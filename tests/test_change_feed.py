@@ -251,3 +251,41 @@ def test_live_state_diff_property(pair):
             assert g["prev_role"] == pa_row[2] and g["prev_lsn"] == pa_row[5]
         else:
             assert g["prev_role"] is None and g["prev_lsn"] is None
+
+
+def test_lookup_projection_without_conv_id(workdir):
+    # a projection that omits the key column must still filter correctly
+    # and return exactly the requested columns
+    d, job, table_dir, wms = _run_with_version_map(workdir)
+    full = job.read_table_arrow()
+    conv = full["conv_id"][0].as_py()
+    exp = full.filter(pc.equal(full["conv_id"], conv))
+    slim = job.lookup(conv, columns=["turn_idx", "role"])
+    assert slim.column_names == ["turn_idx", "role"]
+    assert slim.num_rows == exp.num_rows
+    assert slim["turn_idx"].to_pylist() == exp["turn_idx"].to_pylist()
+
+
+def test_live_state_diff_lsn_above_2_53(workdir):
+    # lsns beyond float53 must not compare equal after the outer merge
+    from cwds_jobs_ray.stages.merge import live_state_diff
+    base = 1 << 60
+    ta = pa.table({"conv_id": pa.array(["c", "d"]),
+                   "turn_idx": pa.array([0, 0], pa.int64()),
+                   "role": pa.array(["user", "user"]),
+                   "text": pa.array(["a", "b"]),
+                   "lsn": pa.array([base + 1, base + 4], pa.int64())})
+    tb = pa.table({"conv_id": pa.array(["c", "d", "e"]),
+                   "turn_idx": pa.array([0, 0, 0], pa.int64()),
+                   "role": pa.array(["user", "user", "user"]),
+                   "text": pa.array(["a2", "b", "new"]),
+                   "lsn": pa.array([base + 2, base + 4, base + 8],
+                                   pa.int64())})
+    out = live_state_diff(ta, tb)
+    got = {(r["conv_id"], r["change_type"]): r for r in out.to_pylist()}
+    # c: lsn base+1 -> base+2 differs only below float53 resolution
+    assert ("c", "U") in got and got[("c", "U")]["lsn"] == base + 2
+    assert got[("c", "U")]["prev_lsn"] == base + 1
+    assert ("e", "I") in got and got[("e", "I")]["lsn"] == base + 8
+    assert ("d", "U") not in got  # identical winning lsn: no row
+    assert len(got) == 2

@@ -89,3 +89,94 @@ def test_edit1_unicode_char_level():
     # oracle-equivalent brute force agrees
     strs = ["café", "cafe", "cafés", "caf", "日本語", "日本誤", "日本語だ"]
     assert _run(strs, nb=3) == _brute(strs)
+
+# ---------------------------------------------------------------- ed <= 2
+
+from cwds_jobs_ray.functions.fuzzy import _lev_le_mask, edit2_pairs
+
+
+def _brute2(strs):
+    return {(i, j) for i in range(len(strs)) for j in range(i + 1, len(strs))
+            if _lev(strs[i], strs[j]) <= 2}
+
+
+def _run2(strs, nb=5):
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(range(len(strs)), pa.int64()),
+        "s": pa.array(strs, pa.string())}))
+    out = edit2_pairs(ds, "id", "s", n_buckets=nb).to_pandas()
+    if out.empty:
+        return set()
+    pairs = list(zip(out["id_a"], out["id_b"]))
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    return set(pairs)
+
+
+def test_edit2_small_alphabet_random():
+    rng = np.random.default_rng(3)
+    strs = ["".join(rng.choice(list("ab"), size=rng.integers(0, 5)))
+            for _ in range(100)]
+    assert _run2(strs) == _brute2(strs)
+
+
+def test_edit2_mixed_lengths_duplicates_and_transpositions():
+    rng = np.random.default_rng(13)
+    strs = ["".join(rng.choice(list("abc"), size=rng.integers(0, 7)))
+            for _ in range(120)]
+    strs += strs[:8]          # exact duplicates emit exactly once
+    strs += ["xy", "yx"]      # transposition = distance 2 -> included
+    assert _run2(strs, nb=3) == _brute2(strs)
+
+
+def test_edit2_structured_ids():
+    strs = [f"Customer#{i:03d}" for i in range(120)]
+    assert _run2(strs, nb=7) == _brute2(strs)
+
+
+def test_edit2_nulls_excluded():
+    # SQL: levenshtein(NULL, x) is NULL -> the pair is excluded
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "s": pa.array(["None", None, "None", None], pa.string())}))
+    out = edit2_pairs(ds, "id", "s", n_buckets=3).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"])) if not out.empty else set()
+    assert got == {(1, 3)}
+
+
+def test_edit2_unicode_char_level():
+    strs = ["café", "cafe", "cafés", "ca", "日本語", "日語", "日本語だよ"]
+    assert _run2(strs, nb=3) == _brute2(strs)
+
+
+def test_lev_le_mask_unit():
+    cases = [("abc", "abc", 0), ("abc", "abd", 1), ("abc", "adc", 1),
+             ("abc", "ab", 1), ("xy", "yx", 2), ("abcd", "dcba", 4),
+             ("", "", 0), ("", "ab", 2), ("", "abc", 3), ("a", "abc", 2),
+             ("kitten", "sitting", 3), ("flaw", "lawn", 2)]
+    sa = np.array([a for a, _, _ in cases], dtype=object)
+    sb = np.array([b for _, b, _ in cases], dtype=object)
+    for dmax in (1, 2, 3):
+        exp = np.array([d <= dmax for _, _, d in cases])
+        assert (_lev_le_mask(sa, sb, dmax) == exp).all(), dmax
+        assert (_lev_le_mask(sb, sa, dmax) == exp).all(), dmax
+
+
+def test_lev_le_mask_random_vs_brute():
+    rng = np.random.default_rng(29)
+    sa, sb, exp2 = [], [], []
+    for _ in range(400):
+        a = "".join(rng.choice(list("abcd"), size=rng.integers(0, 9)))
+        b = "".join(rng.choice(list("abcd"), size=rng.integers(0, 9)))
+        sa.append(a); sb.append(b); exp2.append(_lev(a, b) <= 2)
+    got = _lev_le_mask(np.array(sa, dtype=object),
+                       np.array(sb, dtype=object), 2)
+    assert (got == np.array(exp2)).all()
+
+
+def test_edit1_nulls_excluded():
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "s": pa.array(["None", None, "Nones"], pa.string())}))
+    out = edit1_pairs(ds, "id", "s", n_buckets=3).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"])) if not out.empty else set()
+    assert got == {(1, 3)}

@@ -110,3 +110,101 @@ def test_view_commit_cleans_uncommitted_files(workdir):
     view.refresh()  # next commit's cleanup removes it
     assert not os.path.exists(orphan)
     assert _as_dict(view.read()) == _expected(job_b)
+
+
+def test_refresh_after_vacuum_falls_back_to_full_build(workdir):
+    # vacuum away the view's applied snapshot; refresh must recover with a
+    # full rebuild instead of raising forever
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    view = ConvStatsView(job_a, num_partitions=3)
+    view.full_build()
+    job_b.run()  # advances several table versions
+    job_b.vacuum(keep_last=1)  # drops the view's applied snapshot
+    applied = view._state()["applied_version"]
+    assert applied not in Manifest.retained_versions(table_dir)
+    st = view.refresh()
+    assert st["applied_version"] == \
+        job_b._load_manifest_or_raise().table_version
+    assert _as_dict(view.read()) == _expected(job_b)
+
+
+# -------------------------------------------- declarative MaterializedView
+
+from cwds_jobs_ray.pipelines.views import (Count, CountIf, MaterializedView,
+                                           Sum, SumLen)
+
+
+def _expected_by_role(job) -> dict:
+    """Reference: GROUP BY role (a MUTABLE attribute) with count and
+    SUM(turn_idx) — computed by a plain dict walk over the live table."""
+    t = job.read_table_arrow()
+    out = {}
+    for role, ti, text in zip(t["role"].to_pylist(),
+                              t["turn_idx"].to_pylist(),
+                              t["text"].to_pylist()):
+        n, s, ch = out.get(role, (0, 0, 0))
+        out[role] = (n + 1, s + ti, ch + len(text or ""))
+    return out
+
+
+def _role_view(job, nb=3):
+    return MaterializedView(job, name="role_stats", key="role",
+                            aggs={"n": Count(), "sum_ti": Sum("turn_idx"),
+                                  "chars": SumLen("text")},
+                            num_partitions=nb)
+
+
+def _role_dict(t) -> dict:
+    return {r: (n, s, ch)
+            for r, n, s, ch in zip(t["role"].to_pylist(),
+                                   t["n"].to_pylist(),
+                                   t["sum_ti"].to_pylist(),
+                                   t["chars"].to_pylist())}
+
+
+def test_generic_view_mutable_group_key(workdir):
+    # GROUP BY role: a U row that flips the role moves the row between
+    # groups as a +1/-1 contribution pair — refresh must equal rebuild
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    view = _role_view(job_a)
+    view.full_build()
+    at_a = _expected_by_role(job_a)  # capture BEFORE job_b advances
+    assert _role_dict(view.read()) == at_a
+    job_b.run()
+    view.refresh()
+    at_b = _expected_by_role(job_b)
+    assert _role_dict(view.read()) == at_b
+    # the workload actually flips roles between the two halves
+    assert at_a != at_b
+
+
+def test_generic_view_second_spec_countif_sum(workdir):
+    # a second distinct spec over the conv key: CountIf + Sum
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    view = MaterializedView(job_a, name="conv_misc", key="conv_id",
+                            aggs={"n_user": CountIf("role", "user"),
+                                  "sum_ti": Sum("turn_idx")},
+                            num_partitions=4)
+    view.full_build()
+    job_b.run()
+    view.refresh()
+    t = job_b.read_table_arrow()
+    exp = {}
+    for c, r, ti in zip(t["conv_id"].to_pylist(), t["role"].to_pylist(),
+                        t["turn_idx"].to_pylist()):
+        nu, s = exp.get(c, (0, 0))
+        exp[c] = (nu + (r == "user"), s + ti)
+    got = view.read()
+    assert {c: (nu, s) for c, nu, s in zip(got["conv_id"].to_pylist(),
+                                           got["n_user"].to_pylist(),
+                                           got["sum_ti"].to_pylist())} == exp
+
+
+def test_generic_view_spec_validation(workdir):
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        MaterializedView(job_a, "v", key="conv_id", aggs={})
+    with _pt.raises(ValueError):
+        MaterializedView(job_a, "v", key="conv_id",
+                         aggs={"conv_id": Count()})
