@@ -180,3 +180,27 @@ def test_edit1_nulls_excluded():
     out = edit1_pairs(ds, "id", "s", n_buckets=3).to_pandas()
     got = set(zip(out["id_a"], out["id_b"])) if not out.empty else set()
     assert got == {(1, 3)}
+
+
+# ------------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(strs=st.lists(_word, min_size=0, max_size=40),
+       nb=st.integers(min_value=1, max_value=6))
+def test_edit1_property(strs, nb):
+    assert _run(strs, nb=nb) == _brute(strs)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(strs=st.lists(_word, min_size=0, max_size=30),
+       nb=st.integers(min_value=1, max_value=6))
+def test_edit2_property(strs, nb):
+    assert _run2(strs, nb=nb) == _brute2(strs)
