@@ -348,6 +348,7 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "multimodal_real_decode",
     "transcript_view_ivm_by_role",
     "fuzzy_pairs_edit2",
     "transcript_change_feed",
@@ -579,7 +580,32 @@ def _golden_oracle_sqls() -> dict[str, str]:
             digest = _hl.sha256(payload + f.to_bytes(4, "little")).digest()
             mm_frame_rows.append((i, f, float(sum(digest[:8]))))
 
+    # -- REAL-codec multimodal chain: naive single-threaded evaluator of the
+    # same stdlib PNG/WAV codecs (encode -> resize -> decode -> feature sum),
+    # no Ray, no actor pools — checks the distributed plumbing end to end --
+    from cwds_jobs_ray.functions.codecs import (decode_png, decode_wav,
+                                                encode_png, encode_wav,
+                                                resize_nearest)
+
+    mm_real_rows = []
+    for i, t in zip(ids, texts):
+        stream = _hl.sha256(t.encode()).digest() * 16
+        if i % 2 == 0:
+            img = np.frombuffer(stream[:64], np.uint8).reshape(8, 8)
+            png = encode_png(resize_nearest(img, 4, 4))
+            feat = decode_png(png).astype(np.float64).reshape(-1)[:32]
+            mm_real_rows.append((i, "image", len(png), float(feat.sum())))
+        else:
+            pcm = (np.frombuffer(stream, np.uint8)[:256].astype(np.int16)
+                   * 128 - 16384)
+            wav = encode_wav(pcm, 16000)
+            dec = decode_wav(wav)[0].astype(np.float64)[:32]
+            mm_real_rows.append((i, "audio", len(wav), float(dec.sum())))
+
     return {
+        "multimodal_real_decode": values_sql(
+            mm_real_rows, ["media_id", "kind", "n_bytes", "feat_sum"],
+            ["BIGINT", "VARCHAR", "BIGINT", "DOUBLE"]),
         "token_counts_bpe": values_sql(bpe_rows, ["doc_id", "n_bpe_tokens"]),
         "rolling_hash_fingerprints": values_sql(
             winnow_rows, ["doc_id", "n_fingerprints", "min_fingerprint"]),

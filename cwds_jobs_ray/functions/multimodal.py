@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-The image/audio codecs are not available in this environment, so the decode
-kernel is STUBBED with a deterministic fake (clearly marked); everything
-Ray-side — schema, batch sizing for large binary rows, actor signature,
-output layout — is real and tested. Swap ``_decode_stub`` for a real
-``PIL.Image.open`` / ``soundfile.read`` body on a cluster with codecs.
+Decode is REAL for PNG and WAV payloads via the pure-stdlib codecs in
+functions/codecs.py (zlib + ``wave``; magic-byte sniffed). Payloads in any
+other format fall back to ``_decode_stub`` — a deterministic fake, clearly
+marked — because no external codec library exists in this environment; on
+a cluster with codecs, swap the stub for ``PIL.Image.open`` /
+``soundfile.read``. Everything Ray-side — schema, batch sizing for large
+binary rows, actor signature, output layout — is real and tested either
+way.
 """
 
 from __future__ import annotations
@@ -15,6 +18,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from .codecs import (decode_png, decode_wav, encode_png, encode_wav,
+                     resize_nearest, sniff_kind)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -60,6 +66,61 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
 
 
+def _decode(payload: bytes, kind: str) -> np.ndarray:
+    """Decode a media payload to a flat float32 array: REAL decode for
+    PNG/WAV (magic-sniffed, functions/codecs.py), stub for everything
+    else."""
+    fmt = sniff_kind(payload)
+    if fmt == "png":
+        return decode_png(payload).astype(np.float32).reshape(-1)
+    if fmt == "wav":
+        return decode_wav(payload)[0].astype(np.float32).reshape(-1)
+    return _decode_stub(payload, kind)
+
+
+def real_media_table(texts: list[str], ids: list[int]) -> pa.Table:
+    """Media rows with REAL encoded payloads — PNG images and WAV audio —
+    derived deterministically from text (even ids get an 8x8 grayscale
+    PNG whose pixels are the text's sha256 stream; odd ids get 256
+    samples of int16 PCM from the same stream)."""
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate")}
+    for t, i in zip(texts, ids):
+        stream = hashlib.sha256(t.encode()).digest() * 16  # 512 bytes
+        if i % 2 == 0:
+            img = np.frombuffer(stream[:64], np.uint8).reshape(8, 8)
+            rows["media_id"].append(i)
+            rows["kind"].append("image")
+            rows["payload"].append(encode_png(img))
+            rows["width"].append(8)
+            rows["height"].append(8)
+            rows["sample_rate"].append(None)
+        else:
+            pcm = (np.frombuffer(stream, np.uint8)[:256].astype(np.int16)
+                   * 128 - 16384)
+            rows["media_id"].append(i)
+            rows["kind"].append("audio")
+            rows["payload"].append(encode_wav(pcm, 16000))
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["sample_rate"].append(16000)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"]),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+    })
+
+
+def real_media_batch_from_docs(batch: pa.Table) -> pa.Table:
+    """Distributed construction of the REAL-payload media table (PNG/WAV
+    bytes built where the data lives, `map_batches` over documents)."""
+    return real_media_table(batch["text"].to_pylist(),
+                            batch["doc_id"].to_pylist())
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode -> fixed-length feature vector.
 
@@ -78,7 +139,9 @@ class MediaFeatureExtractor:
         kinds = batch["kind"].to_pylist()
         feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
         for i, (p, k) in enumerate(zip(payloads, kinds)):
-            feats[i] = _decode_stub(p, k)[: self.dim]
+            d = _decode(p, k)  # real for PNG/WAV, stub otherwise
+            n = min(self.dim, len(d))
+            feats[i, :n] = d[:n]
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
@@ -99,10 +162,12 @@ def extract_features(ds: ray.data.Dataset, concurrency: int = 2,
 
 class ImageResizer:
     """Actor-pool resize stage: image rows get re-encoded at target WxH;
-    non-image rows pass through untouched. The resample kernel is the
-    codec-shaped STUB (deterministic bytes from the payload digest + target
-    dims); the Ray plumbing — per-actor target config, payload-safe
-    batching, metadata rewrite — is real."""
+    non-image rows pass through untouched. PNG payloads get a REAL
+    decode -> nearest-neighbor resample -> PNG re-encode
+    (functions/codecs.py); other image formats keep the codec-shaped STUB
+    (deterministic bytes from the payload digest + target dims). The Ray
+    plumbing — per-actor target config, payload-safe batching, metadata
+    rewrite — is the same either way."""
 
     def __init__(self, width: int = 32, height: int = 24):
         self.width, self.height = width, height
@@ -114,7 +179,12 @@ class ImageResizer:
         for p, k, w, h in zip(payloads, kinds,
                               batch["width"].to_pylist(),
                               batch["height"].to_pylist()):
-            if k == "image":
+            if k == "image" and sniff_kind(p) == "png":
+                img = resize_nearest(decode_png(p), self.width, self.height)
+                out_p.append(encode_png(img))
+                out_w.append(self.width)
+                out_h.append(self.height)
+            elif k == "image":
                 digest = hashlib.sha256(
                     p + bytes([self.width, self.height])).digest()
                 out_p.append(digest * ((self.width * self.height) // 32 + 1))
@@ -137,8 +207,12 @@ class ImageResizer:
 class FrameSampler:
     """Actor-pool frame-sampling stage (1 -> k rows): audio/video payloads
     emit every ``stride``-th frame as its own row with a per-frame feature.
-    The frame decode is the STUB kernel; the flat-map row expansion, frame
-    indexing and small-batch handling are the real multimodal plumbing."""
+    WAV payloads get a REAL decode — frames are 16-sample PCM windows and
+    frame_energy is the window's mean absolute amplitude; other formats
+    keep the STUB kernel. The flat-map row expansion, frame indexing and
+    small-batch handling are the same multimodal plumbing either way."""
+
+    FRAME_LEN = 16  # PCM samples per frame window
 
     def __init__(self, stride: int = 4, max_frames: int = 8):
         self.stride, self.max_frames = stride, max_frames
@@ -149,6 +223,17 @@ class FrameSampler:
         out_id, out_frame, out_feat = [], [], []
         for mid, k, p in zip(ids, kinds, payloads):
             if k != "audio":
+                continue
+            if sniff_kind(p) == "wav":
+                pcm = decode_wav(p)[0].reshape(-1).astype(np.float64)
+                n_frames = max(1, len(pcm) // self.FRAME_LEN)
+                for f in range(0, min(n_frames,
+                                      self.max_frames * self.stride),
+                               self.stride):
+                    win = pcm[f * self.FRAME_LEN:(f + 1) * self.FRAME_LEN]
+                    out_id.append(mid)
+                    out_frame.append(f)
+                    out_feat.append(float(np.abs(win).mean()))
                 continue
             n_frames = max(1, len(p) // 16)
             for f in range(0, min(n_frames, self.max_frames * self.stride),

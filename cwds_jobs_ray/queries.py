@@ -1940,6 +1940,32 @@ def multimodal_features(sf_dir: str):
     return out.drop_columns(["feature"])  # list col dropped for the check
 
 
+def multimodal_real_decode(sf_dir: str):
+    """REAL-codec multimodal chain: documents -> real PNG/WAV payloads
+    (built distributed) -> real nearest-neighbor image resize (PNG decode +
+    re-encode, functions/codecs.py) -> feature extraction whose values are
+    the actually-decoded pixels/PCM samples. feat_sum checks the decoded
+    CONTENT, n_bytes the re-encoded payload — both value-hashed against a
+    naive single-threaded evaluator of the same stdlib codecs. No stub on
+    this path."""
+    from .functions.multimodal import (extract_features,
+                                       real_media_batch_from_docs,
+                                       resize_images)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(real_media_batch_from_docs,
+                             batch_format="pyarrow", batch_size=1024)
+    feats = extract_features(resize_images(media, width=4, height=4))
+
+    def fold(t: pa.Table) -> pa.Table:
+        f = t["feature"].combine_chunks()
+        flat = f.flatten().to_numpy(zero_copy_only=False)
+        sums = flat.reshape(len(t), -1).sum(axis=1)
+        return t.drop_columns(["feature"]).append_column(
+            "feat_sum", pa.array(sums, pa.float64()))
+
+    return feats.map_batches(fold, batch_format="pyarrow", batch_size=4096)
+
+
 # --------------------------------------------------------------------------
 # round-4 analytic widening: grouping sets, ordered string agg, rank-family
 # windows, gap fill, extract-all explode, fuzzy (edit-distance) self-join
@@ -2514,6 +2540,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "multimodal_features": multimodal_features,
     "multimodal_frame_pipeline": multimodal_frame_pipeline,
+    "multimodal_real_decode": multimodal_real_decode,
     "paged_source_demo": paged_source_demo,
     "train_val_split": train_val_split,
     "deterministic_shuffle": deterministic_shuffle,
