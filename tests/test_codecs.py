@@ -205,3 +205,42 @@ def test_real_pipeline_distributed(ray_session):
     assert all(len(f) == 32 for f in feats["feature"])
     frames = sample_frames(media).to_pandas()
     assert set(frames["media_id"]) == {1, 3, 5, 7}
+
+
+# --------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(h=st.integers(1, 12), w=st.integers(1, 12),
+       ch=st.sampled_from([1, 3]), seed=st.integers(0, 2**31))
+def test_png_roundtrip_property(h, w, ch, seed):
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(h=st.integers(1, 8), w=st.integers(1, 8),
+       ftype=st.integers(0, 4), seed=st.integers(0, 2**31))
+def test_png_filters_property(h, w, ftype, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                               dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_refilter(img, ftype)), img)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(n=st.integers(1, 400), ch=st.sampled_from([1, 2]),
+       rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31))
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    shape = (n,) if ch == 1 else (n, ch)
+    pcm = np.random.default_rng(seed).integers(-32768, 32767, shape,
+                                               dtype=np.int16)
+    out, r = decode_wav(encode_wav(pcm, rate))
+    assert r == rate
+    np.testing.assert_array_equal(out, pcm)
