@@ -114,7 +114,12 @@ def _unfilter(filt: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes -> (h, w) or (h, w, 3) uint8 array."""
+    """Decode PNG bytes -> (h, w) or (h, w, 3) uint8 array.
+
+    Chunk CRCs are not verified (zlib's own checksum already guards the
+    pixel data; corrupt streams fail in ``zlib.decompress`` or the
+    reshape) — same tradeoff many fast decoders make.
+    """
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, [], None
