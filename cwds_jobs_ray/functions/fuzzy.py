@@ -94,15 +94,31 @@ def _row_hash(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return h.view(np.int64)
 
 
+def _drop_null_strings(t: pa.Table, str_col: str) -> pa.Table:
+    """SQL null semantics: levenshtein(NULL, x) is NULL -> excluded, so
+    null strings emit no neighborhood rows (np.asarray(dtype=str) would
+    otherwise turn None into the literal 'None' and pair it)."""
+    if t.num_rows:
+        t = t.filter(t[str_col].combine_chunks().is_valid())
+    return t
+
+
+def _del_variant_key(mat: np.ndarray, lens: np.ndarray, alive: np.ndarray,
+                     drop, n_del: int) -> np.ndarray:
+    """Length-salted hash keys for one deletion-variant shape: rows
+    ``alive`` with column(s) ``drop`` removed (zeros fallback keeps the
+    empty variant hashable)."""
+    var = np.delete(mat[alive], drop, axis=1)
+    if var.shape[1] == 0:
+        var = np.zeros((len(alive), 1), np.uint32)
+    return _row_hash(var, lens[alive] - n_del)
+
+
 def _emit_neighborhood(t: pa.Table, id_col: str, str_col: str,
                        nb: int) -> pa.Table:
     """One block -> (key, id, s, self, _bucket) rows: the identity entry
     plus one entry per 1-deletion variant, (key, id)-deduped."""
-    if t.num_rows:
-        # SQL null semantics: levenshtein(NULL, x) is NULL -> excluded, so
-        # null strings emit no neighborhood rows (np.asarray(dtype=str)
-        # would otherwise turn None into the literal 'None' and pair it)
-        t = t.filter(t[str_col].combine_chunks().is_valid())
+    t = _drop_null_strings(t, str_col)
     if t.num_rows == 0:
         return pa.schema([("key", pa.int64()), ("id", pa.int64()),
                           ("s", pa.string()), ("self", pa.bool_()),
@@ -117,10 +133,7 @@ def _emit_neighborhood(t: pa.Table, id_col: str, str_col: str,
         alive = np.flatnonzero(lens > p)
         if not len(alive):
             break
-        var = np.delete(mat[alive], p, axis=1)
-        if var.shape[1] == 0:
-            var = np.zeros((len(alive), 1), np.uint32)
-        keys.append(_row_hash(var, lens[alive] - 1))
+        keys.append(_del_variant_key(mat, lens, alive, p, 1))
         row_ix.append(alive)
         selfs.append(np.zeros(len(alive), bool))
     key = np.concatenate(keys)
@@ -281,8 +294,7 @@ def _emit_neighborhood2(t: pa.Table, id_col: str, str_col: str,
     ownership flags — exactly-once is enforced by the downstream pair-bucket
     dedup wave (the per-shape ownership argument that makes ed1 single-pass
     does not generalize to two edits)."""
-    if t.num_rows:
-        t = t.filter(t[str_col].combine_chunks().is_valid())
+    t = _drop_null_strings(t, str_col)
     if t.num_rows == 0:
         return pa.schema([("key", pa.int64()), ("id", pa.int64()),
                           ("s", pa.string()),
@@ -297,20 +309,14 @@ def _emit_neighborhood2(t: pa.Table, id_col: str, str_col: str,
         alive = np.flatnonzero(lens > p)
         if not len(alive):
             break
-        var = np.delete(mat[alive], p, axis=1)
-        if var.shape[1] == 0:
-            var = np.zeros((len(alive), 1), np.uint32)
-        keys.append(_row_hash(var, lens[alive] - 1))
+        keys.append(_del_variant_key(mat, lens, alive, p, 1))
         row_ix.append(alive)
     for p in range(Lmax):                       # 2-deletion variants
         for q in range(p + 1, Lmax):
             alive = np.flatnonzero(lens > q)
             if not len(alive):
                 break
-            var = np.delete(mat[alive], [p, q], axis=1)
-            if var.shape[1] == 0:
-                var = np.zeros((len(alive), 1), np.uint32)
-            keys.append(_row_hash(var, lens[alive] - 2))
+            keys.append(_del_variant_key(mat, lens, alive, [p, q], 2))
             row_ix.append(alive)
     key = np.concatenate(keys)
     ix = np.concatenate(row_ix)

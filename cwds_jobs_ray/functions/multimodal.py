@@ -226,6 +226,8 @@ class FrameSampler:
                 continue
             if sniff_kind(p) == "wav":
                 pcm = decode_wav(p)[0].reshape(-1).astype(np.float64)
+                if len(pcm) == 0:  # legal zero-frame WAV: nothing to emit
+                    continue
                 n_frames = max(1, len(pcm) // self.FRAME_LEN)
                 for f in range(0, min(n_frames,
                                       self.max_frames * self.stride),

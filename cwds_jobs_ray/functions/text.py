@@ -74,11 +74,13 @@ def lang_id(batch: pa.Table) -> pa.Table:
 
 
 def _utf8_buffer_slices(col):
-    """Per-chunk (n, offsets, data-memoryview) over a string column's UTF-8
-    buffers — rows are hashed as memoryview slices of the Arrow data buffer,
-    so no Python string is ever materialized (Arrow already stores UTF-8;
-    the old ``to_pylist`` + ``str.encode`` path decoded and re-encoded every
-    row before hashing)."""
+    """Per-chunk (n, offsets, data-memoryview, valid) over a string
+    column's UTF-8 buffers — rows are hashed as memoryview slices of the
+    Arrow data buffer, so no Python string is ever materialized (Arrow
+    already stores UTF-8; the old ``to_pylist`` + ``str.encode`` path
+    decoded and re-encoded every row before hashing). ``valid`` is None
+    when the chunk has no nulls, else a bool array — null rows must NOT
+    be hashed as the empty string (SQL md5(NULL) is NULL)."""
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     for ch in chunks:
         if len(ch) == 0:
@@ -88,7 +90,9 @@ def _utf8_buffer_slices(col):
         offs = np.frombuffer(ch.buffers()[1], dtype=dt, count=len(ch) + 1,
                              offset=ch.offset * width)
         data = memoryview(ch.buffers()[2] or b"")
-        yield len(ch), offs, data
+        valid = ch.is_valid().to_numpy(zero_copy_only=False) \
+            if ch.null_count else None
+        yield len(ch), offs, data, valid
 
 
 def md5_prefix_mod(col, mod: int) -> np.ndarray:
@@ -100,11 +104,17 @@ def md5_prefix_mod(col, mod: int) -> np.ndarray:
     n = len(col)
     out = np.empty(n, np.int64)
     i = 0
-    for cn, offs, data in _utf8_buffer_slices(col):
+    for cn, offs, data, valid in _utf8_buffer_slices(col):
         for j in range(cn):
-            out[i] = int.from_bytes(
-                hashlib.md5(data[offs[j]:offs[j + 1]]).digest()[:4],
-                "big") % mod
+            if valid is not None and not valid[j]:
+                # SQL md5(NULL) is NULL: NULL == 0 and NULL < rate are
+                # both false, so the sentinel `mod` (never produced by
+                # % mod) makes every caller predicate behave like SQL
+                out[i] = mod
+            else:
+                out[i] = int.from_bytes(
+                    hashlib.md5(data[offs[j]:offs[j + 1]]).digest()[:4],
+                    "big") % mod
             i += 1
     return out
 
@@ -113,18 +123,19 @@ def md5_hex_rows(col, id_prefix: np.ndarray | None = None) -> list[str]:
     """md5 hex per row over the raw UTF-8 buffer slices; with
     ``id_prefix``, row i hashes ``f"{id_prefix[i]}|" + text`` (the
     deterministic-shuffle key) without building the concatenated string."""
-    out: list[str] = []
+    out: list[str | None] = []
     i = 0
-    for cn, offs, data in _utf8_buffer_slices(col):
-        if id_prefix is None:
-            for j in range(cn):
+    for cn, offs, data, valid in _utf8_buffer_slices(col):
+        for j in range(cn):
+            if valid is not None and not valid[j]:
+                out.append(None)  # SQL md5(NULL) is NULL
+            elif id_prefix is None:
                 out.append(hashlib.md5(data[offs[j]:offs[j + 1]]).hexdigest())
-        else:
-            for j in range(cn):
+            else:
                 h = hashlib.md5(b"%d|" % id_prefix[i])
                 h.update(data[offs[j]:offs[j + 1]])
                 out.append(h.hexdigest())
-                i += 1
+            i += 1
     return out
 
 

@@ -155,7 +155,8 @@ def _apply_view_delta(view_dir: str, schema: pa.Schema, key: str,
            if old_rel else schema.empty_table())
     cols = [f.name for f in schema if f.name != key]
     both = pd.concat([old.to_pandas(), d.to_pandas()], ignore_index=True)
-    merged = both.groupby(key, sort=False)[cols].sum().reset_index()
+    merged = both.groupby(key, sort=False, dropna=False)[cols] \
+        .sum().reset_index()
     merged = merged[merged[_LIVE] > 0].sort_values(key, kind="stable")
     out = pa.Table.from_pandas(merged, schema=schema, preserve_index=False)
     write_atomic(out, os.path.join(view_dir, rel))
@@ -172,7 +173,7 @@ class MaterializedView:
                  aggs: dict[str, Agg], num_partitions: int = 8):
         if not aggs:
             raise ValueError("need at least one aggregate")
-        bad = [n for n in aggs if n == key or n == _LIVE]
+        bad = [n for n in aggs if n in (key, _LIVE, "_bucket")]
         if bad:
             raise ValueError(f"aggregate names collide: {bad}")
         self.job = job
@@ -203,10 +204,18 @@ class MaterializedView:
 
     def _group_sum(self, df: pd.DataFrame, bucket: bool) -> pa.Table:
         cols = [_LIVE, *self._names]
-        g = df.groupby(self.key, sort=False)[cols].sum().reset_index()
+        # dropna=False: SQL GROUP BY keeps the NULL group
+        g = df.groupby(self.key, sort=False, dropna=False)[cols] \
+            .sum().reset_index()
         if bucket:
-            g["_bucket"] = partition_ids(
-                g[self.key].to_numpy(), self.num_partitions)
+            # partition routing only — null keys ride a fixed sentinel so
+            # the NULL group always lands in (and updates) one partition
+            keys = g[self.key].to_numpy()
+            mask = pd.isna(keys)
+            if mask.any():
+                keys = keys.copy()
+                keys[mask] = "\0__null__"
+            g["_bucket"] = partition_ids(keys, self.num_partitions)
         out_schema = self._partial_schema() if bucket else self._view_schema()
         return pa.Table.from_pandas(g, schema=out_schema,
                                     preserve_index=False)
@@ -294,10 +303,22 @@ class MaterializedView:
             if fn.endswith(".parquet") and fn not in live:
                 os.remove(os.path.join(self.dir, fn))
 
+    def _check_spec(self, st: dict) -> None:
+        """The on-disk state was written for ONE spec; refreshing or
+        reading it with a different key/aggregate set would silently
+        union mismatched schemas — fail fast instead."""
+        if st.get("key") != self.key or st.get("columns") != self._names:
+            raise ValueError(
+                f"view {self.name} on disk was built with key="
+                f"{st.get('key')!r} columns={st.get('columns')} but this "
+                f"spec has key={self.key!r} columns={self._names}; use the "
+                "original spec or full_build() under a new view name")
+
     def read(self) -> pa.Table:
         st = self._state()
         if st is None:
             raise RuntimeError(f"view {self.name} has never been built")
+        self._check_spec(st)
         parts = [pq.read_table(os.path.join(self.dir, f))
                  for f in st["files"].values()]
         t = (pa.concat_tables(parts) if parts
@@ -332,6 +353,7 @@ class MaterializedView:
         st = self._state()
         if st is None:
             return self.full_build()
+        self._check_spec(st)
         cur = self.job._load_manifest_or_raise().table_version
         applied = st["applied_version"]
         if cur == applied:

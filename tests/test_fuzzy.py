@@ -204,3 +204,13 @@ def test_edit1_property(strs, nb):
        nb=st.integers(min_value=1, max_value=6))
 def test_edit2_property(strs, nb):
     assert _run2(strs, nb=nb) == _brute2(strs)
+
+
+def test_null_strings_excluded_ed2():
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "s": pa.array(["abc", None, "abd", None]),
+    }))
+    out = edit2_pairs(ds, "id", "s", n_buckets=3).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"])) if not out.empty else set()
+    assert got == {(1, 3)}

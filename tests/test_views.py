@@ -208,3 +208,62 @@ def test_generic_view_spec_validation(workdir):
     with _pt.raises(ValueError):
         MaterializedView(job_a, "v", key="conv_id",
                          aggs={"conv_id": Count()})
+
+
+def test_generic_view_refresh_rejects_spec_mismatch(workdir):
+    # refreshing an on-disk view with a DIFFERENT spec must fail fast,
+    # not silently union mismatched schemas
+    import pytest as _pt
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    _role_view(job_a).full_build()
+    other = MaterializedView(job_a, name="role_stats", key="role",
+                             aggs={"n_user": CountIf("role", "user")},
+                             num_partitions=3)
+    job_b.run()
+    with _pt.raises(ValueError, match="built with"):
+        other.refresh()
+    with _pt.raises(ValueError, match="built with"):
+        other.read()
+    # the matching spec still refreshes fine
+    v = _role_view(job_b)
+    v.refresh()
+    assert _role_dict(v.read()) == _expected_by_role(job_b)
+
+
+def test_generic_view_bucket_agg_name_rejected(workdir):
+    import pytest as _pt
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    with _pt.raises(ValueError, match="collide"):
+        MaterializedView(job_a, "v", key="conv_id",
+                         aggs={"_bucket": Count()})
+
+
+def test_generic_view_null_group_key(workdir):
+    # SQL GROUP BY keeps the NULL group; rows with a null key must appear
+    # as one group in the view, through full_build AND refresh
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    view = _role_view(job_a)
+    view.full_build()
+    t = view.read()
+    import pandas as pd
+    base = job_a.read_table_arrow()
+    n_null = base["role"].null_count
+    got_nulls = [i for i, r in enumerate(t["role"].to_pylist()) if r is None]
+    if n_null == 0:
+        # synth data has no null roles: exercise the kernel directly
+        import pyarrow as pa
+        part = view._block_partial(pa.table({
+            "role": pa.array(["a", None, "a", None, "b"]),
+            "turn_idx": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["x", "y", "", None, "zz"])}))
+        df = part.to_pandas()
+        nul = df[df["role"].isna()]
+        assert len(nul) == 1
+        assert int(nul["n"].iloc[0]) == 2
+        assert int(nul["sum_ti"].iloc[0]) == 6
+        assert int(nul["chars"].iloc[0]) == 1  # None text counts 0 chars
+        # reduce keeps the null group too
+        red = view._reduce(part).to_pandas()
+        assert red["role"].isna().sum() == 1
+    else:
+        assert len(got_nulls) == 1
