@@ -349,6 +349,7 @@ def entry() -> Any:
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
     "multimodal_real_decode",
+    "kmeans_clusters",
     "transcript_view_ivm_by_role",
     "fuzzy_pairs_edit2",
     "transcript_change_feed",
@@ -618,6 +619,9 @@ def _golden_oracle_sqls() -> dict[str, str]:
                                    ["query_id", "vec_id", "rank"]),
         "ann_ivf_topk": values_sql(topk_rows(ivf_cand),
                                    ["query_id", "vec_id", "rank"]),
+        "kmeans_clusters": values_sql(
+            [(int(v), a) for v, a in zip(vec_ids, assign)],
+            ["vec_id", "cluster"], ["BIGINT", "BIGINT"]),
         "multimodal_features": values_sql(
             mm_feat_rows, ["media_id", "kind", "n_bytes"],
             ["BIGINT", "VARCHAR", "BIGINT"]),

@@ -225,6 +225,32 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
     return cents
 
 
+def kmeans_assign(ds: ray.data.Dataset,
+                  k: int = N_CENTROIDS) -> ray.data.Dataset:
+    """Embedding clustering for data curation: train the coarse quantizer
+    once on the deterministic content-hash bottom-k sample (unbiased,
+    reproducible across block layouts), broadcast the centroids, and
+    assign every vector to its nearest centroid in one vectorized pass per
+    block — no shuffle, O(centroids) broadcast bytes, cost linear in the
+    corpus. Same machinery as the IVF inverted-list build (``ivf_topk``);
+    at scale raise k ~ sqrt(n)."""
+    sample = _unit(np.asarray(
+        _bottomk_sample(ds, IVF_TRAIN_SAMPLE)["embedding"].tolist(),
+        dtype=np.float64))
+    cents = _kmeans(sample, k)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        m = _unit(_mat(batch["embedding"]))
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array((m @ cc.T).argmax(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
 def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
              query_ids: np.ndarray, k: int) -> ray.data.Dataset:
     """IVF approximate top-k: a coarse k-means quantizer partitions the

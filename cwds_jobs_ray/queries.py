@@ -1453,6 +1453,18 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q, qids, ANN_K)
 
 
+def kmeans_clusters(sf_dir: str):
+    """Embedding k-means cluster assignment (data-curation clustering):
+    quantizer trained once on the deterministic bottom-k-hash sample,
+    broadcast, every vector assigned in one vectorized pass — no shuffle.
+    Oracle: golden VALUES from a naive per-vector evaluator over the same
+    pinned centroids (__ray_entry__._golden_oracle_sqls — the IVF golden's
+    inverted-list assignment, exposed as a first-class operator)."""
+    from .functions.ann import kmeans_assign
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds)
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed approximate top-k (scale path). Oracle: golden VALUES
     from a naive per-vector evaluator over the same pinned hyperplanes;
@@ -2536,6 +2548,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "kmeans_clusters": kmeans_clusters,
     "neardup_clusters": neardup_clusters,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "multimodal_features": multimodal_features,

@@ -156,6 +156,32 @@ def test_ivf_recall_vs_exact():
     assert len(ex & ap) / len(ex) >= 0.4  # nprobe=3/16 coarse index
 
 
+def test_kmeans_assign_deterministic_and_consistent():
+    """Cluster assignment: every vector gets exactly one cluster id in
+    [0, k); identical runs agree (deterministic sample + seeding); each
+    vector's cluster is its argmax-similarity centroid (checked against a
+    local recompute over the same pinned training path)."""
+    from cwds_jobs_ray.functions.ann import (IVF_TRAIN_SAMPLE, _bottomk_sample,
+                                             _kmeans, _unit, kmeans_assign)
+    import pyarrow.parquet as pq
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = kmeans_assign(ds, k=8).to_pandas().sort_values("vec_id")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    assert len(out) == t.num_rows
+    assert out["cluster"].between(0, 7).all()
+    out2 = kmeans_assign(ds, k=8).to_pandas().sort_values("vec_id")
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+    # local recompute
+    sample = _unit(np.asarray(
+        _bottomk_sample(ds, IVF_TRAIN_SAMPLE)["embedding"].tolist(),
+        dtype=np.float64))
+    cents = _kmeans(sample, 8)
+    unit = _unit(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    exp = (unit @ cents.T).argmax(axis=1)
+    by_id = dict(zip(t["vec_id"].to_pylist(), exp))
+    assert all(by_id[v] == c for v, c in zip(out["vec_id"], out["cluster"]))
+
+
 def test_connected_components_vs_union_find():
     from cwds_jobs_ray.functions.dedup import connected_components
     edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)]  # {1,2,3,8,9}, {5,6}
