@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "window_rank_functions",
     "funnel_signup_purchase",
     "regexp_extract_all_tokens",
+    # round-5 operators: real-codec multimodal chain, broadcast k-means
+    # assignment. fuzzy_pairs_edit2 is deliberately NOT timed here: at
+    # sf0.1 the ed<=2 closure over the synthetic short-name vocabulary
+    # emits 4.08M true pairs (22 s of intrinsic output volume, measured) —
+    # it would dominate the bench wall without measuring anything new;
+    # correctness is driver-graded via the catalog.
+    "multimodal_real_decode",
+    "kmeans_clusters",
 ]
 
 
