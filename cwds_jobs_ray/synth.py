@@ -57,16 +57,28 @@ class WalSpec:
     text_words: int = 12             # words per text payload
 
 
-def _texts(rng: np.random.Generator, n: int, words: int) -> pa.Array:
+def _texts(rng: np.random.Generator, n: int, words: int):
     """n random texts of `words` words — fully vectorized via Arrow
-    (dictionary decode + list binary_join), no Python string loop."""
+    (dictionary decode + list binary_join), no Python string loop.
+    Generated in chunks so the flat word array stays under the int32
+    string-offset limit (a single pa.string() array overflows past ~2 GiB
+    of bytes — hit at ~25M 12-word texts); returns a ChunkedArray."""
     import pyarrow.compute as pc
 
-    idx = rng.integers(0, len(_WORDS), size=n * words).astype(np.int32)
-    flat = pa.DictionaryArray.from_arrays(
-        pa.array(idx), pa.array(_WORDS.tolist(), pa.string())).cast(pa.string())
-    offsets = pa.array(np.arange(0, (n + 1) * words, words, dtype=np.int32))
-    return pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+    # keep each chunk's flat bytes well under 2^31 (~16 B/word upper bound)
+    per_chunk = max(1, (1 << 30) // (words * 16))
+    chunks = []
+    for s in range(0, n, per_chunk):
+        cn = min(per_chunk, n - s)
+        idx = rng.integers(0, len(_WORDS), size=cn * words).astype(np.int32)
+        flat = pa.DictionaryArray.from_arrays(
+            pa.array(idx),
+            pa.array(_WORDS.tolist(), pa.string())).cast(pa.string())
+        offsets = pa.array(
+            np.arange(0, (cn + 1) * words, words, dtype=np.int32))
+        chunks.append(
+            pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " "))
+    return pa.chunked_array(chunks, pa.string())
 
 
 def make_base(spec: WalSpec) -> pa.Table:
@@ -164,7 +176,21 @@ def make_wal(spec: WalSpec) -> pa.Table:
     n_dup = int(n * spec.dup_redelivery_frac)
     if n_dup:
         dup_idx = rng.integers(0, n, size=n_dup)
-        tbl = pa.concat_tables([tbl, tbl.take(dup_idx)])
+        # take on a multi-chunk string column concatenates the chunks; past
+        # ~2 GiB of text that overflows int32 offsets. Detour the text
+        # column through large_string (64-bit offsets) for the gather —
+        # value-identical, order-preserving — and cast the small result
+        # back.
+        ti = tbl.schema.get_field_index("text")
+        big = tbl.set_column(ti, pa.field("text", pa.large_string()),
+                             tbl["text"].cast(pa.large_string()))
+        dup = big.take(dup_idx)
+        dup = dup.set_column(ti, pa.field("text", pa.string()),
+                             dup["text"].cast(pa.string()))
+        tbl = pa.concat_tables([tbl, dup], promote_options="permissive")
+        # normalize back to the v2 schema (concat of string+large_string
+        # columns must not leak large types)
+        tbl = tbl.cast(CHANGE_SCHEMA_V2)
     return tbl
 
 
