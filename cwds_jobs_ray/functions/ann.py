@@ -225,6 +225,17 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
     return cents
 
 
+def _train_centroids(ds: ray.data.Dataset, k: int) -> np.ndarray:
+    """Quantizer training shared by ``kmeans_assign`` and ``ivf_topk``:
+    unit-normalized deterministic content-hash bottom-k sample ->
+    Lloyd's k-means. (The golden oracle in __ray_entry__ reproduces this
+    recipe INDEPENDENTLY on purpose — it is the check, not a caller.)"""
+    sample = _unit(np.asarray(
+        _bottomk_sample(ds, IVF_TRAIN_SAMPLE)["embedding"].tolist(),
+        dtype=np.float64))
+    return _kmeans(sample, k)
+
+
 def kmeans_assign(ds: ray.data.Dataset,
                   k: int = N_CENTROIDS) -> ray.data.Dataset:
     """Embedding clustering for data curation: train the coarse quantizer
@@ -234,10 +245,7 @@ def kmeans_assign(ds: ray.data.Dataset,
     block — no shuffle, O(centroids) broadcast bytes, cost linear in the
     corpus. Same machinery as the IVF inverted-list build (``ivf_topk``);
     at scale raise k ~ sqrt(n)."""
-    sample = _unit(np.asarray(
-        _bottomk_sample(ds, IVF_TRAIN_SAMPLE)["embedding"].tolist(),
-        dtype=np.float64))
-    cents = _kmeans(sample, k)
+    cents = _train_centroids(ds, k)
     cref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -263,10 +271,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray,
     and reproducible across block layouts; at scale raise N_CENTROIDS ~
     sqrt(n).
     """
-    sample = _unit(np.asarray(
-        _bottomk_sample(ds, IVF_TRAIN_SAMPLE)["embedding"].tolist(),
-        dtype=np.float64))
-    cents = _kmeans(sample, N_CENTROIDS)
+    cents = _train_centroids(ds, N_CENTROIDS)
     q = _unit(queries)
     qprobe = np.argsort(-(q @ cents.T), axis=1)[:, :N_PROBE]
     qref = ray.put((q, query_ids, cents, qprobe))

@@ -83,6 +83,14 @@ class Agg:
         ``prev_*`` columns as the change type requires."""
         raise NotImplementedError
 
+    def fingerprint(self) -> str:
+        """Stable identity of the aggregate DEFINITION (class + params +
+        dtype) — persisted in view.json so a same-named but semantically
+        different aggregate cannot silently refresh stale totals."""
+        params = {k: v for k, v in sorted(vars(self).items())
+                  if not k.startswith("_")}
+        return f"{type(self).__name__}({params}):{np.dtype(self.dtype).name}"
+
 
 class Count(Agg):
     """COUNT(*) of live rows in the group."""
@@ -173,6 +181,8 @@ class MaterializedView:
                  aggs: dict[str, Agg], num_partitions: int = 8):
         if not aggs:
             raise ValueError("need at least one aggregate")
+        if key in (_LIVE, "_bucket"):
+            raise ValueError(f"key collides with internal column: {key!r}")
         bad = [n for n in aggs if n in (key, _LIVE, "_bucket")]
         if bad:
             raise ValueError(f"aggregate names collide: {bad}")
@@ -290,6 +300,8 @@ class MaterializedView:
         state = {"applied_version": applied_version,
                  "num_partitions": num_partitions,
                  "key": self.key, "columns": self._names,
+                 "agg_fingerprints": [self.aggs[n].fingerprint()
+                                      for n in self._names],
                  "files": {str(k): v for k, v in files.items()}}
         tmp = os.path.join(self.dir, "view.json.tmp")
         with open(tmp, "w") as f:
@@ -307,12 +319,15 @@ class MaterializedView:
         """The on-disk state was written for ONE spec; refreshing or
         reading it with a different key/aggregate set would silently
         union mismatched schemas — fail fast instead."""
-        if st.get("key") != self.key or st.get("columns") != self._names:
+        fps = [self.aggs[n].fingerprint() for n in self._names]
+        if (st.get("key") != self.key or st.get("columns") != self._names
+                or st.get("agg_fingerprints", fps) != fps):
             raise ValueError(
                 f"view {self.name} on disk was built with key="
-                f"{st.get('key')!r} columns={st.get('columns')} but this "
-                f"spec has key={self.key!r} columns={self._names}; use the "
-                "original spec or full_build() under a new view name")
+                f"{st.get('key')!r} columns={st.get('columns')} "
+                f"aggs={st.get('agg_fingerprints')} but this spec has "
+                f"key={self.key!r} columns={self._names} aggs={fps}; use "
+                "the original spec or full_build() under a new view name")
 
     def read(self) -> pa.Table:
         st = self._state()

@@ -179,18 +179,21 @@ def make_wal(spec: WalSpec) -> pa.Table:
         # take on a multi-chunk string column concatenates the chunks; past
         # ~2 GiB of text that overflows int32 offsets. Detour the text
         # column through large_string (64-bit offsets) for the gather —
-        # value-identical, order-preserving — and cast the small result
-        # back.
+        # value-identical, order-preserving — and gather in bounded slices
+        # so each slice's text also stays under the int32 limit when cast
+        # back (a single >2 GiB duplicate sample would otherwise just move
+        # the overflow from the take to the cast).
         ti = tbl.schema.get_field_index("text")
         big = tbl.set_column(ti, pa.field("text", pa.large_string()),
                              tbl["text"].cast(pa.large_string()))
-        dup = big.take(dup_idx)
-        dup = dup.set_column(ti, pa.field("text", pa.string()),
-                             dup["text"].cast(pa.string()))
-        tbl = pa.concat_tables([tbl, dup], promote_options="permissive")
-        # normalize back to the v2 schema (concat of string+large_string
-        # columns must not leak large types)
-        tbl = tbl.cast(CHANGE_SCHEMA_V2)
+        step = 2_000_000  # ~hundreds of MB of text per slice at any words
+        dups = []
+        for s0 in range(0, n_dup, step):
+            d = big.take(dup_idx[s0:s0 + step])
+            dups.append(d.set_column(
+                ti, pa.field("text", pa.string()),
+                d["text"].cast(pa.string())))
+        tbl = pa.concat_tables([tbl, *dups])
     return tbl
 
 

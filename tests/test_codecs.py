@@ -244,3 +244,22 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     out, r = decode_wav(encode_wav(pcm, rate))
     assert r == rate
     np.testing.assert_array_equal(out, pcm)
+
+
+def test_synth_dup_gather_sliced():
+    """The dup-redelivery gather slices its takes; values must equal a
+    one-shot take regardless of slicing."""
+    from cwds_jobs_ray.synth import WalSpec, make_wal
+    w1 = make_wal(WalSpec(seed=9, n_convs=50, n_events=5000,
+                          dup_redelivery_frac=0.2))
+    n = 5000
+    base = w1.slice(0, n)
+    dups = w1.slice(n)
+    assert dups.num_rows == 1000
+    # every dup row must appear verbatim in the base rows (same lsn/op/text)
+    base_lsn = base["lsn"].to_pylist()
+    pos = {v: i for i, v in enumerate(base_lsn)}
+    for j in range(0, dups.num_rows, 97):
+        i = pos[dups["lsn"][j].as_py()]
+        for col in ("op", "conv_id", "turn_idx", "text"):
+            assert dups[col][j].as_py() == base[col][i].as_py()

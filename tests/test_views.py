@@ -267,3 +267,22 @@ def test_generic_view_null_group_key(workdir):
         assert red["role"].isna().sum() == 1
     else:
         assert len(got_nulls) == 1
+
+
+def test_generic_view_agg_fingerprint_mismatch(workdir):
+    # same aggregate NAME, different definition: must fail fast, not mix
+    import pytest as _pt
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    MaterializedView(job_a, name="fp", key="conv_id",
+                     aggs={"n": CountIf("role", "assistant")},
+                     num_partitions=3).full_build()
+    other = MaterializedView(job_a, name="fp", key="conv_id",
+                             aggs={"n": CountIf("role", "user")},
+                             num_partitions=3)
+    job_b.run()
+    with _pt.raises(ValueError, match="built with"):
+        other.refresh()
+    with _pt.raises(ValueError):
+        MaterializedView(job_a, "v", key="_bucket", aggs={"n": Count()})
+    with _pt.raises(ValueError):
+        MaterializedView(job_a, "v", key="_live", aggs={"n": Count()})
