@@ -286,3 +286,44 @@ def test_generic_view_agg_fingerprint_mismatch(workdir):
         MaterializedView(job_a, "v", key="_bucket", aggs={"n": Count()})
     with _pt.raises(ValueError):
         MaterializedView(job_a, "v", key="_live", aggs={"n": Count()})
+
+
+def test_feed_partial_null_group_moves(workdir):
+    """U rows moving between a real group and the NULL group must transfer
+    contributions exactly — through _feed_partial, _reduce, and
+    _apply_view_delta (the full refresh kernel chain)."""
+    import pyarrow as pa
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    view = _role_view(job_a, nb=1)  # one partition: deterministic file
+    # initial state: 2 rows in role 'a', 1 row with NULL role
+    part = view._block_partial(pa.table({
+        "role": pa.array(["a", "a", None]),
+        "turn_idx": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["xx", "y", "zzz"])}))
+    init = view._reduce(part)
+    os.makedirs(view.dir, exist_ok=True)
+    import pyarrow.parquet as pq
+    pq.write_table(init, os.path.join(view.dir, "p0.v1.parquet"))
+    # feed: one U row moves from 'a' -> NULL; one U row moves NULL -> 'b'
+    feed = pa.table({
+        "change_type": pa.array(["U", "U"]),
+        "role": pa.array([None, "b"]),          # post-images
+        "prev_role": pa.array(["a", None]),     # before-images
+        "turn_idx": pa.array([2, 3], pa.int64()),
+        "prev_turn_idx": pa.array([2, 3], pa.int64()),
+        "text": pa.array(["y2", "zzz"]),
+        "prev_text": pa.array(["y", "zzz"]),
+    })
+    delta = view._reduce(view._feed_partial(feed))
+    from cwds_jobs_ray.pipelines.views import _apply_view_delta
+    rel = _apply_view_delta(view.dir, view._view_schema(), "role",
+                            "p0.v1.parquet", "p0.v2.parquet", delta)
+    got = pq.read_table(os.path.join(view.dir, rel)).to_pandas()
+    by_role = {(r if isinstance(r, str) else None):
+               (int(n), int(s), int(ch))
+               for r, n, s, ch in zip(got["role"], got["n"],
+                                      got["sum_ti"], got["chars"])}
+    # 'a' lost row (ti=2, 'y'): n=1, sum_ti=1, chars=2
+    # NULL gained (ti=2,'y2') and lost (ti=3,'zzz'): n=1, sum_ti=2, chars=2
+    # 'b' gained (ti=3,'zzz'): n=1, sum_ti=3, chars=3
+    assert by_role == {"a": (1, 1, 2), None: (1, 2, 2), "b": (1, 3, 3)}
