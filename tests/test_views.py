@@ -327,3 +327,32 @@ def test_feed_partial_null_group_moves(workdir):
     # NULL gained (ti=2,'y2') and lost (ti=3,'zzz'): n=1, sum_ti=2, chars=2
     # 'b' gained (ti=3,'zzz'): n=1, sum_ti=3, chars=3
     assert by_role == {"a": (1, 1, 2), None: (1, 2, 2), "b": (1, 3, 3)}
+
+
+def test_view_many_incremental_refreshes(workdir):
+    """Refresh after EVERY segment drain (deltas-of-deltas, through schema
+    evolution, hot keys, redeliveries, and forced delta folds) must equal
+    an independent full rebuild at each step."""
+    from cwds_jobs_ray.synth import WalSpec, synthesize
+    d = synthesize(WalSpec(seed=31, n_convs=60, n_events=1500, n_segments=6,
+                           dup_redelivery_frac=0.08, out_of_order_frac=0.15,
+                           hot_key_frac=0.2, schema_v1_segments=2), workdir)
+    wal = os.path.join(workdir, "wal")
+    segs = sorted(os.listdir(wal))
+    table = os.path.join(workdir, "table")
+    inc = os.path.join(workdir, "wal_inc")
+    os.makedirs(inc)
+    for k, seg in enumerate(segs):
+        os.link(os.path.join(wal, seg), os.path.join(inc, seg))
+        job = CDCJob(table, inc, num_partitions=4, events_per_batch=200,
+                     max_delta_files=2)
+        job.run(base_path=d["base_path"] if k == 0 else None)
+        aggs = lambda: {"n": Count(), "nu": CountIf("role", "user"),
+                        "ti": Sum("turn_idx"), "ch": SumLen("text")}
+        v = MaterializedView(job, "mv", key="role", aggs=aggs(),
+                             num_partitions=3)
+        v.refresh() if k else v.full_build()
+        ref = MaterializedView(job, f"ref{k}", key="role", aggs=aggs(),
+                               num_partitions=3)
+        ref.full_build()
+        assert v.read().to_pandas().equals(ref.read().to_pandas()), k
