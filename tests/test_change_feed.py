@@ -289,3 +289,31 @@ def test_live_state_diff_lsn_above_2_53(workdir):
     assert ("e", "I") in got and got[("e", "I")]["lsn"] == base + 8
     assert ("d", "U") not in got  # identical winning lsn: no row
     assert len(got) == 2
+
+
+def test_feed_application_reconstructs_target_state(workdir):
+    """THE downstream contract: a consumer holding table state at version A
+    who applies feed(A, B) row-by-row (I/U upsert post-image, D delete)
+    must hold exactly the table state at version B."""
+    _d, job, table_dir, wms = _run_with_version_map(workdir)
+    applied = sorted(v for v in Manifest.retained_versions(table_dir)
+                     if v >= 1)
+    va, vb = applied[0], applied[-1]
+    pay_cols = None
+    state = {}
+    ta = job.read_table_arrow(version=va)
+    pay_cols = [c for c in ta.column_names]
+    for r in ta.to_pylist():
+        state[(r["conv_id"], r["turn_idx"])] = {c: r[c] for c in pay_cols}
+    feed = _arrow(job.read_changes(va, vb))
+    for r in feed.to_pylist():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["change_type"] == "D":
+            assert k in state, k
+            del state[k]
+        else:
+            state[k] = {c: r[c] for c in pay_cols}
+    tb = job.read_table_arrow(version=vb)
+    exp = {(r["conv_id"], r["turn_idx"]): {c: r[c] for c in pay_cols}
+           for r in tb.to_pylist()}
+    assert state == exp
