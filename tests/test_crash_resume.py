@@ -145,3 +145,45 @@ def test_two_tables_are_independent(workdir):
     ob = replay(d2["base"], d2["wal"], 4)
     assert ja.read_table_arrow().select(oa.final.column_names).equals(oa.final)
     assert jb.read_table_arrow().select(ob.final.column_names).equals(ob.final)
+
+
+def test_crash_at_every_commit_point(workdir):
+    """Systematic sweep: crash at the k-th commit for EVERY k, resume,
+    require byte-equality with the oracle and exact counters each time.
+    (Superset of the single mid-WAL crash; catches any commit whose
+    partial state a resume mis-handles.)"""
+    d = synthesize(SPEC, workdir)
+    orc = replay(d["base"], d["wal"], 4)
+    # count the commits of a clean run first
+    calls = {"n": 0}
+    clean = os.path.join(workdir, "t_clean")
+    CDCJob(clean, os.path.join(workdir, "wal"), num_partitions=4,
+           events_per_batch=100).run(
+        base_path=d["base_path"],
+        on_before_commit=lambda m: calls.__setitem__("n", calls["n"] + 1))
+    total = calls["n"]
+    assert total >= 3
+    for k in range(1, total + 1):
+        tdir = os.path.join(workdir, f"t{k}")
+        cnt = {"n": 0}
+
+        def boom(m, _k=k, _c=cnt):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise Boom(f"crash at commit {_k}")
+
+        try:
+            CDCJob(tdir, os.path.join(workdir, "wal"), num_partitions=4,
+                   events_per_batch=100).run(base_path=d["base_path"],
+                                             on_before_commit=boom)
+            raise AssertionError(f"commit {k} did not crash")
+        except Boom:
+            pass
+        j = CDCJob(tdir, os.path.join(workdir, "wal"), num_partitions=4,
+                   events_per_batch=100)
+        j.run()
+        assert j.read_table_arrow().equals(orc.final), k
+        m = Manifest.load(tdir)
+        assert m.total("conflict_count") == orc.conflict_count, k
+        assert m.total("dedup_count") + m.total("replay_skipped") \
+            == orc.dedup_count, k
