@@ -141,3 +141,34 @@ def test_fww_mirror_prune_rule(workdir):
     cols = [c for c in exp.columns if c in got.columns]
     pd.testing.assert_frame_equal(got[cols].reset_index(drop=True),
                                   exp[cols].reset_index(drop=True))
+
+
+def test_ts_range_randomized_bounds_sweep(workdir):
+    """Randomized (lo, hi) quantile sweep: pruned reads must equal the
+    oracle at EVERY bound, including degenerate (empty, full, point)
+    ranges — soundness of the zone rules can't depend on bound placement."""
+    import numpy as np
+    d, job, _ = _build(workdir)
+    wal_ts = d["wal"]["ts"].cast("int64").to_pandas()
+    rng = np.random.default_rng(5)
+    qs = np.concatenate([rng.uniform(0, 1, 12), [0.0, 1.0]])
+    bounds = sorted(int(wal_ts.quantile(float(q))) for q in qs)
+    cases = [(bounds[i], bounds[j]) for i, j in
+             [(0, 13), (3, 4), (6, 6), (11, 12), (0, 1), (12, 13)]]
+    cases += [(None, bounds[2]), (bounds[10], None)]
+    n_nonempty = 0
+    for lo, hi in cases:
+        got_df = job.read_table(ts_range=(lo, hi)).to_pandas()
+        exp = _sorted(_oracle_in_range(d, lo, hi))
+        if len(exp) == 0:
+            # Ray to_pandas drops columns on all-empty datasets; emptiness
+            # itself is the assertion here
+            assert len(got_df) == 0, (lo, hi)
+            continue
+        got = _sorted(got_df)
+        cols = [c for c in exp.columns if c in got.columns]
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            exp[cols].reset_index(drop=True))
+        n_nonempty += 1
+    assert n_nonempty >= 4  # the sweep actually exercised data
