@@ -1173,3 +1173,276 @@ def connected_components(pairs: ray.data.Dataset,
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow")
+
+
+# --------------- prefix-filtered set-containment (subset) join ----------
+# Directional near-duplication: doc A is (near-)CONTAINED in doc B when
+# |words(A) ∩ words(B)| >= t * |words(A)| — the quote/extraction-dedup
+# relation Jaccard misses (a paragraph quoted inside a long page has tiny
+# Jaccard but containment 1.0), so MinHash-LSH candidates are WRONG here.
+# The exact scale path is the classic prefix filter (AllPairs/PPJoin
+# family, Bayardo et al. 2007): order each doc's tokens by ascending
+# global document frequency; if |A∩B| >= ceil(t|A|) then at least one of
+# A's first (|A| - ceil(t|A|) + 1) tokens — its PREFIX, just ONE token at
+# t=1.0 — must appear in B, so candidates are exactly the postings of A's
+# prefix tokens. Rarest-first ordering makes those postings the shortest
+# available. Completeness does not depend on tie-breaks (any fixed
+# per-doc order works); df-ordering is purely the candidate-count
+# optimization.
+
+_CONTAIN_PAIR_CAP = int(os.environ.get("CWDS_CONTAIN_PAIR_CAP", 50_000_000))
+
+_EMPTY_CONTAIN = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("n_words_a", pa.int64()),
+                            ("containment", pa.float64())])
+
+
+def _distinct_doc_tokens(block: pa.Table):
+    """(doc_ids, token_hashes, parent_row, per-row set size) for one block:
+    fully vectorized distinct-(doc, word) extraction — one split kernel,
+    one hash_array call, one lexsort."""
+    import pyarrow.compute as pc
+    n = block.num_rows
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z, np.zeros(0, np.int64)
+    words = pc.split_pattern(block["text"], " ")
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    flat = words.combine_chunks().flatten() if isinstance(
+        words, pa.ChunkedArray) else words.flatten()
+    hv = pd.util.hash_array(
+        flat.to_numpy(zero_copy_only=False).astype(object)).view(np.int64)
+    order = np.lexsort((hv, par))
+    par, hv = par[order], hv[order]
+    keep = np.ones(len(par), bool)
+    keep[1:] = (par[1:] != par[:-1]) | (hv[1:] != hv[:-1])
+    par, hv = par[keep], hv[keep]
+    sizes = np.bincount(par, minlength=n).astype(np.int64)
+    return par, hv, sizes
+
+
+def _c1_postings(block: pa.Table, nb: int, min_words: int) -> list[pa.Table]:
+    """Wave C1 (per doc block): distinct (token, doc) postings partitioned
+    by hash(token). ``a_size`` carries |words(doc)| when the doc qualifies
+    as an A side (>= min_words), else 0 — the token bucket uses it to know
+    which docs need their df routed back."""
+    par, hv, sizes = _distinct_doc_tokens(block)
+    empty = pa.table({"thash": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "a_size": pa.array([], pa.int64())})
+    if not len(par):
+        return _scalar_if_one([empty] * nb, nb)
+    ids = block["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a_size = np.where(sizes >= min_words, sizes, 0)
+    tb = _doc_bucket(hv, nb)
+    t = pa.table({"thash": pa.array(hv, pa.int64()),
+                  "doc_id": pa.array(ids[par], pa.int64()),
+                  "a_size": pa.array(a_size[par], pa.int64())})
+    return _scalar_if_one([t.take(pa.array(i))
+                           for i in _bucket_slices(tb, nb)], nb)
+
+
+def _c2_df(nb: int, *slices: pa.Table):
+    """Wave C2 (per token bucket): document frequency per token; (doc_id,
+    thash, df, a_size) routed back by hash(doc_id) for A-side docs only.
+    Returns (postings table kept for C4, nb df slices)."""
+    empty_df = pa.table({"doc_id": pa.array([], pa.int64()),
+                         "thash": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64()),
+                         "a_size": pa.array([], pa.int64())})
+    parts = [s for s in slices if s.num_rows]
+    if not parts:
+        empty_post = pa.table({"thash": pa.array([], pa.int64()),
+                               "doc_id": pa.array([], pa.int64())})
+        return tuple([empty_post] + [empty_df] * nb)
+    cat = pa.concat_tables(parts)
+    th = cat["thash"].to_numpy(zero_copy_only=False)
+    doc = cat["doc_id"].to_numpy(zero_copy_only=False)
+    asz = cat["a_size"].to_numpy(zero_copy_only=False)
+    order = np.argsort(th, kind="stable")
+    th, doc, asz = th[order], doc[order], asz[order]
+    new = np.ones(len(th), bool)
+    new[1:] = th[1:] != th[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(th)))
+    df_per_token = np.repeat(lens, lens)  # aligned with sorted rows
+    post = pa.table({"thash": pa.array(th, pa.int64()),
+                     "doc_id": pa.array(doc, pa.int64())})
+    a = asz > 0
+    if not a.any():
+        return tuple([post] + [empty_df] * nb)
+    dbuck = _doc_bucket(doc[a], nb)
+    t = pa.table({"doc_id": pa.array(doc[a], pa.int64()),
+                  "thash": pa.array(th[a], pa.int64()),
+                  "df": pa.array(df_per_token[a], pa.int64()),
+                  "a_size": pa.array(asz[a], pa.int64())})
+    return tuple([post] + [t.take(pa.array(i))
+                           for i in _bucket_slices(dbuck, nb)])
+
+
+def _c3_prefix(nb: int, threshold: float, *slices: pa.Table):
+    """Wave C3 (per doc bucket): each A-side doc's PREFIX — its
+    (|A| - ceil(t|A|) + 1) lowest-(df, thash) tokens — routed by
+    hash(token) back to the token buckets."""
+    empty = pa.table({"thash": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    parts = [s for s in slices if s.num_rows]
+    if not parts:
+        return _scalar_if_one([empty] * nb, nb)
+    cat = pa.concat_tables(parts)
+    doc = cat["doc_id"].to_numpy(zero_copy_only=False)
+    th = cat["thash"].to_numpy(zero_copy_only=False)
+    df_ = cat["df"].to_numpy(zero_copy_only=False)
+    asz = cat["a_size"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((th, df_, doc))
+    doc, th, df_, asz = doc[order], th[order], df_[order], asz[order]
+    new = np.ones(len(doc), bool)
+    new[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(doc)))
+    # rows arrive once per (doc, token); a doc's row count == its set size
+    alpha = np.ceil(threshold * asz[starts] - 1e-9).astype(np.int64)
+    p = np.maximum(asz[starts] - alpha + 1, 1)
+    pos = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, lens)
+    keep = pos < np.repeat(p, lens)
+    th, doc = th[keep], doc[keep]
+    tb = _doc_bucket(th, nb)
+    t = pa.table({"thash": pa.array(th, pa.int64()),
+                  "doc_id": pa.array(doc, pa.int64())})
+    return _scalar_if_one([t.take(pa.array(i))
+                           for i in _bucket_slices(tb, nb)], nb)
+
+
+def _c4_candidates(nb: int, postings: pa.Table, *prefix_slices: pa.Table):
+    """Wave C4 (per token bucket): prefix rows x this bucket's postings ->
+    ordered candidate pairs (doc_a contained-side, doc_b container side),
+    partitioned by pair bucket. Volume is sum over prefix tokens of
+    df(token) — the quantity rarest-first ordering minimizes."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    parts = [s for s in prefix_slices if s.num_rows]
+    if not parts or postings.num_rows == 0:
+        return _scalar_if_one([empty] * nb, nb)
+    pref = pa.concat_tables(parts).to_pandas()
+    post = postings.to_pandas()
+    est = pref.merge(post.groupby("thash", sort=False).size()
+                     .rename("df").reset_index(), on="thash", how="inner")
+    total = int(est["df"].sum())
+    if total > _CONTAIN_PAIR_CAP:
+        raise RuntimeError(
+            f"containment token bucket would generate {total} candidate "
+            f"pairs (cap {_CONTAIN_PAIR_CAP}, env CWDS_CONTAIN_PAIR_CAP): "
+            "the corpus vocabulary is too small/self-similar at this "
+            "threshold. Raise min_words/threshold or pre-collapse "
+            "exact-duplicate docs.")
+    cand = pref.merge(post, on="thash", how="inner",
+                      suffixes=("_a", "_b"))
+    a = cand["doc_id_a"].to_numpy().astype(np.int64)
+    b = cand["doc_id_b"].to_numpy().astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    a, b = _unique_pairs(a, b)  # ordered pairs: no canonicalization
+    pb = _pair_bucket(a, b, nb)
+    return _scalar_if_one(
+        [pa.table({"doc_a": pa.array(a[i], pa.int64()),
+                   "doc_b": pa.array(b[i], pa.int64())})
+         for i in _bucket_slices(pb, nb)], nb)
+
+
+def _c6_verify(threshold: float, min_words: int, pairs_tbl: pa.Table,
+               *text_slices: pa.Table) -> pa.Table:
+    """Wave C6 (per pair bucket): exact word-set containment over the local
+    bitset matrix — same SWAR popcount kernel as the Jaccard verify, with
+    the asymmetric denominator |A|."""
+    from .ann import _popcount64
+
+    if pairs_tbl.num_rows == 0:
+        return _EMPTY_CONTAIN.empty_table()
+    texts = [s for s in text_slices if s.num_rows]
+    docs = (pa.concat_tables(texts).to_pandas().drop_duplicates("doc_id")
+            .sort_values("doc_id"))
+    ids_s = docs["doc_id"].to_numpy().astype(np.int64)
+    vocab: dict[str, int] = {}
+    srows, scols = [], []
+    sz = np.zeros(len(ids_s), dtype=np.int64)
+    for r, tx in enumerate(docs["text"].tolist()):
+        wset = set(tx.split(" "))
+        sz[r] = len(wset)
+        for w in wset:
+            scols.append(vocab.setdefault(w, len(vocab)))
+            srows.append(r)
+    nwords = max(1, -(-len(vocab) // 64))
+    m = np.zeros((len(ids_s), nwords), dtype=np.uint64)
+    sr = np.asarray(srows, dtype=np.int64)
+    sc = np.asarray(scols, dtype=np.int64)
+    np.bitwise_or.at(m, (sr, sc >> 6),
+                     np.uint64(1) << (sc & 63).astype(np.uint64))
+    a = pairs_tbl["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs_tbl["doc_b"].to_numpy(zero_copy_only=False)
+    ia = np.searchsorted(ids_s, a)
+    ib = np.searchsorted(ids_s, b)
+    CH = 65_536
+    cont = np.empty(len(a), dtype=np.float64)
+    for s in range(0, len(a), CH):
+        e = s + CH
+        inter = _popcount64(m[ia[s:e]] & m[ib[s:e]]).sum(axis=1)
+        cont[s:e] = inter / sz[ia[s:e]]
+    keep = (cont >= threshold) & (sz[ia] >= min_words)
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table({"doc_a": pa.array(a[keep][order]),
+                     "doc_b": pa.array(b[keep][order]),
+                     "n_words_a": pa.array(sz[ia[keep]][order], pa.int64()),
+                     "containment": pa.array(cont[keep][order])})
+
+
+def containment_pairs(ds: ray.data.Dataset, threshold: float = 1.0,
+                      min_words: int = 20,
+                      n_buckets: int | None = None) -> ray.data.Dataset:
+    """Exact directional word-set containment join: all ORDERED pairs
+    (doc_a, doc_b) with |words(a) ∩ words(b)| >= threshold * |words(a)|,
+    a != b, |words(a)| >= min_words. See the module note above for the
+    prefix-filter construction; at threshold=1.0 every A-side doc emits
+    exactly ONE prefix token (its globally rarest), so the candidate set is
+    one posting-list scan per doc.
+
+    Scale shape: the corpus crosses the wire once as distinct (token, doc)
+    int postings (the inverted-index build), df rows come back only for
+    A-side docs, candidates are int pairs bounded by prefix-postings
+    volume (capped per task), and texts move only for candidate docs —
+    the same pairs<->texts bucketed hash-join the Jaccard verify uses
+    (_w3/_w1_split_docs/_w4_attach are reused verbatim)."""
+    mat = ds.select_columns(["doc_id", "text"]).materialize()
+    nb = n_buckets or sized_n_buckets(mat.count(),
+                                      rows_per_bucket=DOCS_PER_BUCKET)
+    blocks = mat.to_arrow_refs()
+    c1_t = ray.remote(num_returns=nb)(_c1_postings)
+    c2_t = ray.remote(num_returns=1 + nb)(_c2_df)
+    c3_t = ray.remote(num_returns=nb)(_c3_prefix)
+    c4_t = ray.remote(num_returns=nb)(_c4_candidates)
+    w3_t = ray.remote(num_returns=1 + nb)(_w3_dedup_requests)
+    d1_t = ray.remote(num_returns=nb)(_w1_split_docs)
+    w4_t = ray.remote(num_returns=nb)(_w4_attach)
+    c6_t = ray.remote(_c6_verify)
+
+    c1 = _norm([c1_t.remote(b, nb, min_words) for b in blocks], nb)
+    c2 = [c2_t.remote(nb, *[s[j] for s in c1]) for j in range(nb)]
+    post_refs = [r[0] for r in c2]
+    df_slices = [r[1:] for r in c2]  # df_slices[j][k]: token j -> doc k
+    c3 = _norm([c3_t.remote(nb, threshold,
+                            *[df_slices[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
+    c4 = _norm([c4_t.remote(nb, post_refs[j], *[c3[k][j] for k in range(nb)])
+                for j in range(nb)], nb)
+    w3 = [w3_t.remote(nb, j, *[c4[k][j] for k in range(nb)])
+          for j in range(nb)]
+    pair_refs = [r[0] for r in w3]
+    req_slices = [r[1:] for r in w3]
+    d1 = _norm([d1_t.remote(b, nb) for b in blocks], nb)
+    w4 = _norm([w4_t.remote(nb, len(d1),
+                            *[s[k] for s in d1],
+                            *[req_slices[j][k] for j in range(nb)])
+                for k in range(nb)], nb)
+    return ray.data.from_arrow_refs(
+        [c6_t.remote(threshold, min_words, pair_refs[j],
+                     *[w4[k][j] for k in range(nb)])
+         for j in range(nb)])

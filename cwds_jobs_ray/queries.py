@@ -2488,6 +2488,159 @@ def dup_ngram_fraction(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
 
 
+CONTAIN_MIN_WORDS = 20
+
+
+def subset_containment_pairs(sf_dir: str):
+    """Directional containment dedup (quote/extraction detection): all
+    ordered pairs where doc_a's word set is a SUBSET of doc_b's
+    (containment |A∩B|/|A| = 1.0, |A| >= 20). Jaccard/MinHash miss this
+    relation by construction — a paragraph quoted inside a long page has
+    tiny Jaccard but containment 1.0 — so the scale path is the exact
+    prefix-filter join (functions/dedup.containment_pairs): inverted-index
+    postings -> rarest-token prefix -> candidate pairs -> bitset verify.
+    Oracle is the O(n^2) list-intersect cross join."""
+    from .functions.dedup import containment_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(ds, threshold=1.0,
+                             min_words=CONTAIN_MIN_WORDS)
+
+
+def argminmax_user_events(sf_dir: str):
+    """First/last-event attribution per user — the ARG_MIN / ARG_MAX
+    (min_by/max_by) aggregate family: for every user, the event_type of the
+    FIRST event and the event_type + value of the LAST event under the
+    deterministic total order (ts, event_id). Arg-extremes are a
+    semilattice over rows: each block keeps only its per-user first and
+    last rows (<= 2 rows per user per block enter the exchange, never the
+    table), and the keyed final re-reduces the same way — the same
+    partial-winner shape as the CDC LWW fold (stages/merge.py), surfaced as
+    an analytic aggregate."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def extremes(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="stable")
+        grp = df.groupby("user_id", sort=False)
+        keep = pd.concat([grp.head(1), grp.tail(1)]).drop_duplicates()
+        return _pa_from_pandas(keep, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="stable")
+        grp = df.groupby("user_id", sort=False)
+        first, last = grp.head(1), grp.tail(1)
+        return pa.table({
+            "user_id": pa.array(first["user_id"].to_numpy(np.int64,
+                                                          copy=False),
+                                pa.int64()),
+            "first_type": pa.array(first["event_type"].astype(str)
+                                   if len(first) else [], pa.string()),
+            "last_type": pa.array(last["event_type"].astype(str)
+                                  if len(last) else [], pa.string()),
+            "last_value": pa.array(last["value"].to_numpy(np.float64,
+                                                          copy=False),
+                                   pa.float64())})
+
+    return _tree_agg(ds, extremes, final, bucket_on="user_id")
+
+
+PCTL_PS = (0.25, 0.5, 0.75)
+
+
+def percentile_cont_by_group(sf_dir: str):
+    """Interpolated percentiles (PERCENTILE_CONT / quantile_cont) per group
+    over a BOUNDED integral domain by counting, never sorting — the
+    median_mode_by_group shape extended to linear interpolation: each block
+    emits at most |domain| x |groups| count rows, counts add under any
+    merge tree, and the bounded final walks cumulative counts. With
+    pos = p*(n-1), frac in {0, .25, .5, .75} (exact dyadic doubles) and
+    integral bracket values <= 50, every IEEE multiply/add is exact on both
+    sides — lo + frac*(hi-lo) and lo*(1-frac) + hi*frac are the same
+    number — so the doubles hash-match the oracle with no rounding fudge."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby(["l_returnflag", "q"], sort=False).size() \
+            .rename("n").reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["l_returnflag", "q"], sort=True)["n"] \
+            .sum().reset_index()
+        rows: dict[str, list] = {"l_returnflag": [], "p25": [], "p50": [],
+                                 "p75": []}
+        for flag, sub in g.groupby("l_returnflag", sort=True):
+            vals = sub["q"].to_numpy()
+            cum = np.cumsum(sub["n"].to_numpy())
+            n = int(cum[-1])
+            rows["l_returnflag"].append(flag)
+            for p, col in zip(PCTL_PS, ("p25", "p50", "p75")):
+                pos = p * (n - 1)
+                fl = np.floor(pos)
+                lo = float(vals[np.searchsorted(cum, fl, side="right")])
+                hi = float(vals[np.searchsorted(cum, np.ceil(pos),
+                                                side="right")])
+                rows[col].append(lo + (pos - fl) * (hi - lo))
+        return pa.table({
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "p25": pa.array(rows["p25"], pa.float64()),
+            "p50": pa.array(rows["p50"], pa.float64()),
+            "p75": pa.array(rows["p75"], pa.float64())})
+
+    return _tree_agg(ds, partial, final)
+
+
+def hopping_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per hopping window (60-minute windows
+    every 30 minutes): explode each event into its two windows,
+    pre-distinct (window, user) per block, exchange keyed by USER — each
+    bucket then holds a disjoint user set, so per-window distinct counts
+    become ADDITIVE int partials (one row per window per bucket) and a tiny
+    single final sums them. Distinct-count is not mergeable over raw rows,
+    but partitioned by the distinct KEY it is — the standard two-level
+    exact distinct; the wire carries distinct (window, user) int pairs
+    once, then O(windows x buckets) count rows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    hop_us = 30 * 60 * 1_000_000  # window length = 2 hops
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        win = np.concatenate([((ts // hop_us) - k) * hop_us for k in (0, 1)])
+        pair = pd.DataFrame({"w": win, "user_id": np.tile(uid, 2)}) \
+            .drop_duplicates()
+        return pa.table({"w": pa.array(pair["w"].to_numpy(), pa.int64()),
+                         "user_id": pa.array(pair["user_id"].to_numpy(),
+                                             pa.int64())})
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        g = df.groupby("w", sort=False).size().rename("n_users") \
+            .reset_index()
+        return pa.table({"w": pa.array(g["w"].to_numpy(), pa.int64()),
+                         "n_users": pa.array(g["n_users"].to_numpy(),
+                                             pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("w", sort=True)["n_users"].sum() \
+            .reset_index()
+        return pa.table({
+            "window_start": pa.array(g["w"].to_numpy()
+                                     .astype("datetime64[us]")),
+            "n_users": pa.array(g["n_users"].to_numpy(), pa.int64())})
+
+    per_bucket = _tree_agg(ds, explode_distinct, bucket_counts,
+                           bucket_on="user_id")
+    return per_bucket.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2579,6 +2732,10 @@ QUERIES = {
     "dup_ngram_fraction": dup_ngram_fraction,
     "fuzzy_name_clusters": fuzzy_name_clusters,
     "fuzzy_pairs_edit2": fuzzy_pairs_edit2,
+    "argminmax_user_events": argminmax_user_events,
+    "subset_containment_pairs": subset_containment_pairs,
+    "percentile_cont_by_group": percentile_cont_by_group,
+    "hopping_distinct_users": hopping_distinct_users,
 }
 
 
@@ -3224,5 +3381,51 @@ ORACLE_SQL.update({
                    FROM embeddings a JOIN embeddings b
                      ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b FROM p WHERE s >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "subset_containment_pairs": f"""
+        WITH d AS (SELECT doc_id,
+                          LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS w
+                   FROM documents),
+        f AS (SELECT * FROM d WHERE LEN(w) >= {CONTAIN_MIN_WORDS})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(a.w)::BIGINT AS n_words_a,
+               LEN(LIST_INTERSECT(a.w, b.w))::DOUBLE / LEN(a.w)
+                   AS containment
+        FROM f a JOIN d b ON a.doc_id <> b.doc_id
+        WHERE LEN(LIST_INTERSECT(a.w, b.w)) >= 1.0 * LEN(a.w)
+    """,
+    "argminmax_user_events": """
+        WITH w AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT user_id,
+               MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+               MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS last_value
+        FROM w GROUP BY user_id
+    """,
+    "percentile_cont_by_group": """
+        SELECT l_returnflag,
+               QUANTILE_CONT(l_quantity, 0.25) AS p25,
+               QUANTILE_CONT(l_quantity, 0.50) AS p50,
+               QUANTILE_CONT(l_quantity, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "hopping_distinct_users": """
+        WITH w AS (
+          SELECT user_id,
+                 TIME_BUCKET(INTERVAL '30 minutes', ts) AS window_start
+          FROM events
+          UNION ALL
+          SELECT user_id,
+                 TIME_BUCKET(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes'
+          FROM events)
+        SELECT window_start, COUNT(DISTINCT user_id) AS n_users
+        FROM w GROUP BY 1
     """,
 })
