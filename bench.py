@@ -70,6 +70,15 @@ BENCH_QUERIES = [
     # correctness is driver-graded via the catalog.
     "multimodal_real_decode",
     "kmeans_clusters",
+    # late round-5 operators: mergeable arg-extremes, counting percentiles,
+    # two-level exact hopping distinct. subset_containment_pairs is
+    # deliberately NOT timed here, same reason as fuzzy_pairs_edit2: the
+    # sf0.1 synthetic vocabulary is 31 words, so the subset relation holds
+    # for 1.27M ordered pairs (verified exact) and ~20 s is intrinsic
+    # output/candidate volume, not engine cost.
+    "argminmax_user_events",
+    "percentile_cont_by_group",
+    "hopping_distinct_users",
 ]
 
 
