@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "argminmax_user_events",
     "percentile_cont_by_group",
     "hopping_distinct_users",
+    "grouped_quantiles_price",
 ]
 
 

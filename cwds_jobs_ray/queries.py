@@ -2488,6 +2488,20 @@ def dup_ngram_fraction(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
 
 
+def grouped_quantiles_price(sf_dir: str):
+    """PER-GROUP exact order statistics without a sort: p50/p90/p99 of
+    order totalprice per priority, by (group, rank)-keyed histogram
+    refinement (functions/stats.exact_grouped_quantiles) — each round is
+    one counting scan whose shuffle payload is (state, bin, n) int rows,
+    and the selected values are actual column elements (PERCENTILE_DISC
+    semantics), so the doubles hash-match quantile_disc exactly."""
+    from .functions.stats import exact_grouped_quantiles
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    t = exact_grouped_quantiles(ds, "o_orderpriority", "o_totalprice",
+                                (0.5, 0.9, 0.99))
+    return t.rename_columns(["o_orderpriority", "p50", "p90", "p99"])
+
+
 CONTAIN_MIN_WORDS = 20
 
 
@@ -2734,6 +2748,7 @@ QUERIES = {
     "fuzzy_pairs_edit2": fuzzy_pairs_edit2,
     "argminmax_user_events": argminmax_user_events,
     "subset_containment_pairs": subset_containment_pairs,
+    "grouped_quantiles_price": grouped_quantiles_price,
     "percentile_cont_by_group": percentile_cont_by_group,
     "hopping_distinct_users": hopping_distinct_users,
 }
@@ -3381,6 +3396,13 @@ ORACLE_SQL.update({
                    FROM embeddings a JOIN embeddings b
                      ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b FROM p WHERE s >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "grouped_quantiles_price": """
+        SELECT o_orderpriority,
+               QUANTILE_DISC(o_totalprice, 0.50) AS p50,
+               QUANTILE_DISC(o_totalprice, 0.90) AS p90,
+               QUANTILE_DISC(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderpriority
     """,
     "subset_containment_pairs": f"""
         WITH d AS (SELECT doc_id,

@@ -97,3 +97,45 @@ def test_argminmax_partial_is_mergeable():
     tiny_out = _tree_agg(tiny, extremes, final, bucket_on="user_id") \
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, tiny_out, check_dtype=False)
+
+
+def test_grouped_quantiles_matches_numpy_selection():
+    """Random doubles, uneven groups, duplicate-heavy tails: the selected
+    value must be the element at rank ceil(p*n) per group (PERCENTILE_DISC
+    semantics), bit-identical to a numpy per-group sort."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from cwds_jobs_ray.functions.stats import exact_grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    g = rng.choice(["a", "b", "c", "dd"], size=n,
+                   p=[0.5, 0.3, 0.15, 0.05])
+    v = np.where(rng.random(n) < 0.2, 7.25,  # duplicate-heavy value
+                 rng.normal(100.0, 42.0, n))
+    df = pd.DataFrame({"grp": g, "val": v})
+    probs = (0.1, 0.5, 0.99)
+    got = exact_grouped_quantiles(
+        ray.data.from_pandas(df), "grp", "val", probs,
+        driver_budget=64).to_pandas().set_index("grp")
+    for grp, sub in df.groupby("grp"):
+        s = np.sort(sub["val"].to_numpy())
+        for p in probs:
+            k = min(max(1, math.ceil(p * len(s))), len(s))
+            assert got.loc[grp, f"q_{p}"] == s[k - 1], (grp, p)
+
+
+def test_grouped_quantiles_oracle():
+    got = _norm(
+        __import__("cwds_jobs_ray.queries", fromlist=["q"])
+        .grouped_quantiles_price(SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    from cwds_jobs_ray.queries import ORACLE_SQL
+    exp = _norm(con.execute(ORACLE_SQL["grouped_quantiles_price"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
