@@ -2488,6 +2488,25 @@ def dup_ngram_fraction(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
 
 
+def weighted_sample_by_length(sf_dir: str):
+    """Deterministic WEIGHTED Bernoulli sampling (keep probability
+    proportional to a continuous per-record weight, here document length):
+    keep iff md5(text) mod 1000 < n_chars — a pure function of the record,
+    so the sample is independent of row order, partitioning, and cluster
+    size, and any shard can be re-drawn independently (the property
+    training-data sampling needs at 100 TB). Extends the sampling family
+    beyond per-stratum rates (stratified_sample) to continuous weights."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        from .functions.text import md5_prefix_mod
+        h = md5_prefix_mod(t["text"], 1000)
+        w = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.select(["doc_id", "n_chars"]).filter(pa.array(h < w))
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=4096)
+
+
 def grouped_quantiles_price(sf_dir: str):
     """PER-GROUP exact order statistics without a sort: p50/p90/p99 of
     order totalprice per priority, by (group, rank)-keyed histogram
@@ -2749,6 +2768,7 @@ QUERIES = {
     "argminmax_user_events": argminmax_user_events,
     "subset_containment_pairs": subset_containment_pairs,
     "grouped_quantiles_price": grouped_quantiles_price,
+    "weighted_sample_by_length": weighted_sample_by_length,
     "percentile_cont_by_group": percentile_cont_by_group,
     "hopping_distinct_users": hopping_distinct_users,
 }
@@ -3396,6 +3416,10 @@ ORACLE_SQL.update({
                    FROM embeddings a JOIN embeddings b
                      ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b FROM p WHERE s >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "weighted_sample_by_length": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE ('0x' || SUBSTR(MD5(text), 1, 8))::UBIGINT % 1000 < n_chars
     """,
     "grouped_quantiles_price": """
         SELECT o_orderpriority,
