@@ -348,6 +348,9 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "window_frame_functions",
+    "retention_cohorts",
+    "daily_count_anomalies",
     "weighted_sample_by_length",
     "grouped_quantiles_price",
     "subset_containment_pairs",

@@ -2674,6 +2674,135 @@ def hopping_distinct_users(sf_dir: str):
         final, batch_format="pyarrow", batch_size=None)
 
 
+def window_frame_functions(sf_dir: str):
+    """Sliding-FRAME window functions per key: LAG(value) and MIN/MAX over
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW in the deterministic
+    (ts, event_id) order — completes the analytic-window family
+    (``window_running_agg`` = running aggregates, ``window_rank_functions``
+    = rank family, this = bounded frames). Comparison/copy-only kernels
+    (grouped shift + rolling min/max), so values are bit-exact vs the SQL
+    frame oracle with no float-summation-order concerns. One keyed
+    exchange into data-sized buckets, then one vectorized sort + grouped
+    rolling pass per bucket (pandas' C rolling kernels)."""
+    from .functions.joins import _int_bucket
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    nb = _row_sized_buckets(sf_dir, "events")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _int_bucket(t["user_id"].to_numpy(zero_copy_only=False), nb)
+        return t.append_column("_bucket", pa.array(b))
+
+    def frames_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                      kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        g["lag_value"] = grp["value"].shift(1)
+        roll = grp["value"].rolling(window=7, min_periods=1)
+        g["roll_max"] = roll.max().reset_index(level=0, drop=True)
+        g["roll_min"] = roll.min().reset_index(level=0, drop=True)
+        return _pa_from_pandas(
+            g[["event_id", "user_id", "lag_value", "roll_max", "roll_min"]],
+            preserve_index=False)
+
+    return wave_group_reduce(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", nb, frames_bucket)
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly cohort retention: users grouped by first-activity week
+    (Monday-anchored, = SQL date_trunc('week')); for each
+    (cohort week, week offset), the count of DISTINCT users active that
+    week — the standard product-analytics retention triangle. Per-block
+    partials pre-distinct (user, week) int pairs, ONE user-keyed exchange
+    co-locates each user's weeks (distinct-count partitioned by the
+    distinct key is additive — same two-level shape as
+    ``hopping_distinct_users``), each bucket derives cohort = min(week)
+    and emits bounded (cohort, offset, n) rows, and a single tiny final
+    sums them (domain = weeks^2). All-integer arithmetic throughout."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def distinct_user_weeks(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        week = days - (days + 3) % 7  # 1970-01-01 = Thursday; Monday anchor
+        pair = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "week": week}).drop_duplicates()
+        return pa.table({"user_id": pa.array(pair["user_id"].to_numpy(),
+                                             pa.int64()),
+                         "week": pa.array(pair["week"].to_numpy(),
+                                          pa.int64())})
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        cohort = df.groupby("user_id", sort=False)["week"].transform("min")
+        off = (df["week"].to_numpy() - cohort.to_numpy()) // 7
+        g = pd.DataFrame({"cohort": cohort.to_numpy(), "off": off}) \
+            .groupby(["cohort", "off"], sort=False).size().rename("n") \
+            .reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["cohort", "off"], sort=True)["n"].sum() \
+            .reset_index()
+        week_str = (g["cohort"].to_numpy().astype("datetime64[D]")
+                    .astype("datetime64[us]"))
+        return pa.table({
+            "cohort_week": pc.strftime(pa.array(week_str), "%Y-%m-%d"),
+            "week_offset": pa.array(g["off"].to_numpy(), pa.int64()),
+            "n_users": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    per_bucket = _tree_agg(ds, distinct_user_weeks, bucket_counts,
+                           bucket_on="user_id")
+    return per_bucket.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+
+
+ANOMALY_Z = 2.0
+
+
+def daily_count_anomalies(sf_dir: str):
+    """Time-series anomaly flagging: days whose event count deviates from
+    the corpus mean by more than ``ANOMALY_Z`` population standard
+    deviations. Per-block integer day-count partials -> one bounded final
+    (domain = #days); the final derives mean/std from INTEGER sums
+    (sum, sum-of-squares — order-independent and exact), so every double
+    op (div, sub, sqrt) is an IEEE-deterministic function of exact
+    integers and the z scores hash-match the SQL oracle computing the
+    same explicit formula (no transcendental beyond correctly-rounded
+    sqrt)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], "%Y-%m-%d")
+        g = pa.table({"day": day}).to_pandas() \
+            .groupby("day", sort=False).size().rename("n").reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("day", sort=True)["n"].sum().reset_index()
+        cnt = df["n"].to_numpy(np.int64)
+        nd = float(len(cnt))
+        s = float(cnt.sum())
+        s2 = float((cnt * cnt).sum())
+        mean = s / nd
+        std = np.sqrt((s2 - s * s / nd) / nd)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (cnt - mean) / std
+        # std == 0 -> z is NaN; NaN > thresh is False in numpy AND SQL
+        keep = np.abs(z) > ANOMALY_Z
+        return pa.table({
+            "day": pa.array(df["day"].to_numpy()[keep]),
+            "n": pa.array(cnt[keep], pa.int64()),
+            "z": pa.array(z[keep], pa.float64())})
+
+    return _tree_agg(ds, day_counts, final)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2771,6 +2900,9 @@ QUERIES = {
     "weighted_sample_by_length": weighted_sample_by_length,
     "percentile_cont_by_group": percentile_cont_by_group,
     "hopping_distinct_users": hopping_distinct_users,
+    "window_frame_functions": window_frame_functions,
+    "retention_cohorts": retention_cohorts,
+    "daily_count_anomalies": daily_count_anomalies,
 }
 
 
@@ -3473,5 +3605,38 @@ ORACLE_SQL.update({
           FROM events)
         SELECT window_start, COUNT(DISTINCT user_id) AS n_users
         FROM w GROUP BY 1
+    """,
+    "window_frame_functions": """
+        SELECT event_id, user_id,
+               LAG(value) OVER w AS lag_value,
+               MAX(value) OVER (w ROWS BETWEEN 6 PRECEDING
+                                AND CURRENT ROW) AS roll_max,
+               MIN(value) OVER (w ROWS BETWEEN 6 PRECEDING
+                                AND CURRENT ROW) AS roll_min
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "retention_cohorts": """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS week
+                    FROM events),
+        coh AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+        SELECT strftime(coh.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST((uw.week - coh.cohort) // 7 AS BIGINT) AS week_offset,
+               COUNT(*) AS n_users
+        FROM uw JOIN coh USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "daily_count_anomalies": """
+        WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+                   FROM events GROUP BY 1),
+        s AS (SELECT COUNT(*) AS nd, SUM(n) AS sn, SUM(n * n) AS sn2
+              FROM c),
+        zz AS (SELECT c.day, c.n,
+                      (c.n - CAST(sn AS DOUBLE) / nd)
+                        / sqrt((sn2 - CAST(sn AS DOUBLE) * sn / nd) / nd)
+                          AS z
+               FROM c, s)
+        SELECT day, n, z FROM zz WHERE abs(z) > 2.0
     """,
 })

@@ -1,0 +1,118 @@
+"""Round-5 late analytics: sliding-frame window functions, weekly cohort
+retention, and daily-count anomaly flagging — each checked against its
+DuckDB oracle at sf0.001 (the same compare the driver gate runs), plus
+invariants the oracle can't see (block-split invariance, a hand-computed
+retention triangle, the std=0 degenerate case)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from cwds_jobs_ray.queries import (
+    ORACLE_SQL,
+    daily_count_anomalies,
+    retention_cohorts,
+    window_frame_functions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+def test_window_frames_match_oracle_bitexact():
+    got = _norm(window_frame_functions(SF).to_pandas())
+    exp = _norm(_oracle("window_frame_functions"))
+    # comparison/copy-only kernels: doubles must match with zero tolerance
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_retention_cohorts_match_oracle():
+    got = _norm(retention_cohorts(SF).to_pandas())
+    exp = _norm(_oracle("retention_cohorts"))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_daily_anomalies_match_oracle_bitexact():
+    got = _norm(daily_count_anomalies(SF).to_pandas())
+    exp = _norm(_oracle("daily_count_anomalies"))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+
+
+def _events_parquet(tmp_path, df: pd.DataFrame) -> str:
+    """Write a minimal events table (only the columns the ops read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    full = pd.DataFrame({
+        "event_id": np.arange(len(df), dtype=np.int64),
+        "ts": df["ts"].astype("datetime64[us]"),
+        "user_id": df["user_id"].astype(np.int64),
+        "event_type": "view",
+        "value": 0.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(full, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_retention_hand_computed_triangle(tmp_path):
+    """Three users, hand-placed weeks (Mondays 2024-01-01/08/15):
+    u1 active weeks 0,1,2; u2 joins week 1, returns week 2 (offset 1);
+    u3 active week 0 only. Duplicate events within a week count once."""
+    rows = []
+    for uid, days in [(1, ["2024-01-01", "2024-01-03", "2024-01-08",
+                           "2024-01-15"]),          # dup inside week 0
+                      (2, ["2024-01-10", "2024-01-16"]),
+                      (3, ["2024-01-05"])]:
+        rows += [(uid, pd.Timestamp(d)) for d in days]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    sf = _events_parquet(tmp_path, df)
+    got = retention_cohorts(sf).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "cohort_week": ["2024-01-01", "2024-01-01", "2024-01-01",
+                        "2024-01-08", "2024-01-08"],
+        "week_offset": [0, 1, 2, 0, 1],
+        "n_users": [2, 1, 1, 1, 1]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_anomaly_std_zero_returns_empty(tmp_path):
+    """Uniform day counts -> std = 0 -> z is NaN -> no day flagged (and no
+    crash), matching SQL where NaN > 2.0 is not TRUE."""
+    rows = [(u, pd.Timestamp(f"2024-02-0{d}T12:00:00"))
+            for d in (1, 2, 3) for u in range(5)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    sf = _events_parquet(tmp_path, df)
+    out = daily_count_anomalies(sf).to_pandas()
+    assert len(out) == 0
+
+
+def test_window_frames_block_split_invariant(tmp_path):
+    """Frame results must not depend on how input rows land in blocks: a
+    pathological 7-row-block split of sf0.001 events must equal the
+    whole-file run (the user-keyed exchange owns whole groups)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/events.parquet")
+    pq.write_table(t, f"{tmp_path}/events.parquet",
+                   row_group_size=7)
+    whole = _norm(window_frame_functions(SF).to_pandas())
+    split = _norm(window_frame_functions(str(tmp_path)).to_pandas())
+    pd.testing.assert_frame_equal(whole, split, check_exact=True)
