@@ -348,6 +348,8 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "doc_repetition_signals",
+    "unigram_commonness",
     "window_frame_functions",
     "retention_cohorts",
     "daily_count_anomalies",

@@ -2803,6 +2803,107 @@ def daily_count_anomalies(sf_dir: str):
     return _tree_agg(ds, day_counts, final)
 
 
+def doc_repetition_signals(sf_dir: str):
+    """Per-document repetition signals for corpus quality gating (the
+    Gopher-style repetition filters): word-2gram count, the most-repeated
+    2gram's count, and its share of all 2grams. Entirely block-local (a
+    document is one row, so no exchange at any scale); 2grams are built
+    with Arrow kernels (split -> flatten -> slice-shift ->
+    binary_join_element_wise) and counted in one vectorized pandas pass.
+    The share is ONE double division on exact ints -> hash-exact vs SQL."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(t["text"], " ")
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_2grams": pa.array([], pa.int64()),
+                             "top2_count": pa.array([], pa.int64()),
+                             "top2_share": pa.array([], pa.float64())})
+        g2 = pc.binary_join_element_wise(flat.slice(0, n - 1),
+                                         flat.slice(1), " ")
+        same = par[1:] == par[:-1]  # pair stays inside one document
+        df = pd.DataFrame({"doc_id": ids[par[:-1][same]],
+                           "g": g2.to_pandas()[same]})
+        cnt = df.groupby(["doc_id", "g"], sort=False).size() \
+            .rename("c").reset_index()
+        agg = cnt.groupby("doc_id", sort=False)["c"].agg(["max", "sum"]) \
+            .reset_index()
+        top = agg["max"].to_numpy(np.int64)
+        n2 = agg["sum"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+            "n_2grams": pa.array(n2),
+            "top2_count": pa.array(top),
+            "top2_share": pa.array(top / n2, pa.float64())})
+
+    return ds.map_batches(signals, batch_format="pyarrow", batch_size=4096)
+
+
+def unigram_commonness(sf_dir: str):
+    """Corpus-statistics quality score: per document, the mean corpus
+    frequency of its tokens (common-token documents score high, rare-token
+    ones low) — the shape of every corpus-LM scoring pass: ONE token-keyed
+    exchange of per-block (token, count) partials builds the global
+    frequency table (Zipf-bounded, the classic small side), broadcast once
+    via ``ray.put``; scoring is then block-local. sum_freq / n_tokens are
+    exact ints; mean_freq is one IEEE division -> hash-exact vs SQL."""
+    from .functions.dedup import default_n_buckets
+    from .stages.partition import hash_strings
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = default_n_buckets()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        c = flat.to_pandas().value_counts()
+        out = pa.table({"term": pa.array(c.index.to_numpy(), pa.string()),
+                        "c": pa.array(c.to_numpy(), pa.int64())})
+        bucket = (hash_strings(out["term"]) % np.uint64(nb)).astype(np.int64)
+        return out.append_column("_bucket", pa.array(bucket))
+
+    def tf_bucket_sum(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("term", sort=False)["c"].sum().reset_index()
+        return pa.table({"term": pa.array(g["term"].tolist(), pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    tf_rows = wave_group_reduce(
+        ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=4096),
+        "_bucket", nb, tf_bucket_sum)
+    parts = [t for t in ray.get(tf_rows.to_arrow_refs()) if t.num_rows]
+    freq = (pa.concat_tables(parts).to_pandas() if parts
+            else pd.DataFrame({"term": pd.Series([], dtype="object"),
+                               "c": pd.Series([], dtype="int64")}))
+    fref = ray.put(freq)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(t["text"], " ")
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        m = pd.DataFrame({"doc_id": ids[par],
+                          "term": flat.to_pandas()}) \
+            .merge(fm, on="term", how="left")
+        g = m.groupby("doc_id", sort=False)["c"].agg(["sum", "size"]) \
+            .reset_index()
+        s = g["sum"].to_numpy(np.int64)
+        n = g["size"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(n),
+            "sum_freq": pa.array(s),
+            "mean_freq": pa.array(s / n, pa.float64())})
+
+    return ds.map_batches(score_block, batch_format="pyarrow",
+                          batch_size=4096)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2903,6 +3004,8 @@ QUERIES = {
     "window_frame_functions": window_frame_functions,
     "retention_cohorts": retention_cohorts,
     "daily_count_anomalies": daily_count_anomalies,
+    "doc_repetition_signals": doc_repetition_signals,
+    "unigram_commonness": unigram_commonness,
 }
 
 
@@ -3638,5 +3741,29 @@ ORACLE_SQL.update({
                           AS z
                FROM c, s)
         SELECT day, n, z FROM zz WHERE abs(z) > 2.0
+    """,
+    "doc_repetition_signals": """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+        g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g2
+              FROM words,
+                   UNNEST(generate_series(1, greatest(len(w) - 1, 0))) t(i)),
+        c AS (SELECT doc_id, g2, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        m AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n2 FROM c GROUP BY 1)
+        SELECT doc_id, CAST(n2 AS BIGINT) AS n_2grams,
+               CAST(mx AS BIGINT) AS top2_count,
+               CAST(mx AS DOUBLE) / n2 AS top2_share
+        FROM m
+    """,
+    "unigram_commonness": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        f AS (SELECT term, COUNT(*) AS c FROM w GROUP BY 1),
+        s AS (SELECT w.doc_id, SUM(f.c) AS sc, COUNT(*) AS n
+              FROM w JOIN f USING (term) GROUP BY 1)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(sc AS BIGINT) AS sum_freq,
+               CAST(sc AS DOUBLE) / n AS mean_freq
+        FROM s
     """,
 })

@@ -116,3 +116,49 @@ def test_window_frames_block_split_invariant(tmp_path):
     whole = _norm(window_frame_functions(SF).to_pandas())
     split = _norm(window_frame_functions(str(tmp_path)).to_pandas())
     pd.testing.assert_frame_equal(whole, split, check_exact=True)
+
+
+def test_repetition_signals_match_oracle_bitexact():
+    from cwds_jobs_ray.queries import doc_repetition_signals
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = _norm(con.execute(ORACLE_SQL["doc_repetition_signals"]).df())
+    got = _norm(doc_repetition_signals(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_unigram_commonness_matches_oracle_bitexact():
+    from cwds_jobs_ray.queries import unigram_commonness
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = _norm(con.execute(ORACLE_SQL["unigram_commonness"]).df())
+    got = _norm(unigram_commonness(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_repetition_signals_hand_computed(tmp_path):
+    """'a b a b a' -> 2grams [ab, ba, ab, ba], top share 2/4; a 1-word doc
+    emits no row; 2gram pairs never span documents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.queries import doc_repetition_signals
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], np.int64),
+        "text": ["a b a b a", "solo", "x x x"],
+        "lang": "en", "source": "t",
+        "n_chars": np.array([9, 4, 5], np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    got = doc_repetition_signals(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "doc_id": np.array([0, 2], np.int64),
+        "n_2grams": np.array([4, 2], np.int64),
+        "top2_count": np.array([2, 2], np.int64),
+        "top2_share": [0.5, 1.0]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
