@@ -348,6 +348,7 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "ann_pq_topk",
     "doc_repetition_signals",
     "unigram_commonness",
     "window_frame_functions",
@@ -575,6 +576,45 @@ def _golden_oracle_sqls() -> dict[str, str]:
     def ivf_cand(qi, i):
         return assign[i] in qprobe[qi]
 
+    # -- PQ ADC top-k: codebooks reproduce the engine's pinned training
+    # recipe (shared constants, like the planes/centroids above); the
+    # ENCODE + table-lookup evaluation is a naive per-vector loop --
+    from cwds_jobs_ray.functions.ann import PQ_KS, PQ_M, _kmeans_l2
+    from cwds_jobs_ray.queries import ANN_K as _K
+
+    subd = dim // PQ_M
+    books = [
+        _kmeans_l2(sample[:, j * subd:(j + 1) * subd], PQ_KS, seed=13 + j)
+        for j in range(PQ_M)]
+
+    def pq_code(u):
+        code = []
+        for j in range(PQ_M):
+            s = u[j * subd:(j + 1) * subd]
+            best, bd = 0, None
+            for c in range(len(books[j])):
+                dd = float(((s - books[j][c]) ** 2).sum())
+                if bd is None or dd < bd:  # strict < keeps the FIRST min
+                    best, bd = c, dd
+            code.append(best)
+        return code
+
+    codes = [pq_code(u) for u in unit]
+    pq_rows = []
+    for qi in q_idx:
+        tabs = [[float(np.dot(unit[qi][j * subd:(j + 1) * subd],
+                              books[j][c]))
+                 for c in range(len(books[j]))] for j in range(PQ_M)]
+        scored = []
+        for i, vid in enumerate(vec_ids):
+            s = 0.0
+            for j in range(PQ_M):  # fixed j-order summation = the engine's
+                s += tabs[j][codes[i][j]]
+            scored.append((s, int(vid)))
+        scored.sort(key=lambda t_: (-t_[0], t_[1]))
+        for rank, (_s, vid) in enumerate(scored[:_K], start=1):
+            pq_rows.append((int(vec_ids[qi]), vid, rank))
+
     # -- multimodal stub kernels: naive sha256 evaluators over the same
     # deterministic fake-media construction (documents -> media rows) --
     import hashlib as _hl
@@ -630,6 +670,8 @@ def _golden_oracle_sqls() -> dict[str, str]:
                                    ["query_id", "vec_id", "rank"]),
         "ann_ivf_topk": values_sql(topk_rows(ivf_cand),
                                    ["query_id", "vec_id", "rank"]),
+        "ann_pq_topk": values_sql(pq_rows,
+                                  ["query_id", "vec_id", "rank"]),
         "kmeans_clusters": values_sql(
             [(int(v), a) for v, a in zip(vec_ids, assign)],
             ["vec_id", "cluster"], ["BIGINT", "BIGINT"]),

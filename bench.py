@@ -80,6 +80,14 @@ BENCH_QUERIES = [
     "percentile_cont_by_group",
     "hopping_distinct_users",
     "grouped_quantiles_price",
+    # final round-5 batch: sliding-frame windows, retention triangle,
+    # anomaly flagging, repetition/commonness quality signals, PQ ANN
+    "window_frame_functions",
+    "retention_cohorts",
+    "daily_count_anomalies",
+    "doc_repetition_signals",
+    "unigram_commonness",
+    "ann_pq_topk",
 ]
 
 

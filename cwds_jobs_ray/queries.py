@@ -1453,6 +1453,19 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q, qids, ANN_K)
 
 
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization approximate top-k (asymmetric distance over
+    m-byte codes — the compressed-domain scan that makes 100-TB embedding
+    corpora searchable in memory; see functions/ann.py pq_topk). Oracle:
+    golden VALUES from a naive per-vector evaluator over the same pinned
+    codebooks (__ray_entry__._golden_oracle_sqls); recall vs the exact
+    baseline tested in tests/test_functions.py."""
+    from .functions.ann import pq_topk
+    q, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_topk(ds, q, qids, ANN_K)
+
+
 def kmeans_clusters(sf_dir: str):
     """Embedding k-means cluster assignment (data-curation clustering):
     quantizer trained once on the deterministic bottom-k-hash sample,
@@ -2964,6 +2977,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "kmeans_clusters": kmeans_clusters,
     "neardup_clusters": neardup_clusters,
     "embedding_neardup_pairs": embedding_neardup_pairs,

@@ -916,3 +916,42 @@ def test_heavy_hitter_pattern_exact_across_random_streams():
         cnt = np.bincount(vals[np.isin(vals, cand)], minlength=5_000)
         got = np.flatnonzero(cnt * phi_den > n)
         assert np.array_equal(np.sort(got), np.sort(heavy))
+
+
+def test_pq_structured_retrieval_and_determinism():
+    """PQ ADC top-k on a PLANTED-cluster corpus (20 centroids x 25 members
+    + tiny noise — the structure PQ exploits; unstructured random vectors
+    are its worst case and prove nothing): each query must retrieve
+    same-cluster members for >= 80% of its top-5 (self-retrieval is NOT
+    guaranteed: 24 near-identical siblings quantize to near-identical
+    codes), two runs agree bit-for-bit, and codes stay in [0, PQ_KS)."""
+    import pandas as pd
+    import ray.data
+
+    from cwds_jobs_ray.functions.ann import (PQ_KS, _mat, _pq_encode,
+                                             _train_pq_codebooks, _unit,
+                                             pq_topk)
+    rng = np.random.default_rng(5)
+    cents = rng.standard_normal((20, 64))
+    members = np.repeat(cents, 25, axis=0) \
+        + 0.05 * rng.standard_normal((500, 64))
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64),
+                       "embedding": [v.astype(np.float32)
+                                     for v in members]})
+    ds = ray.data.from_pandas(df)
+    q = members[:3]
+    qids = np.arange(3, dtype=np.int64)
+    out = pq_topk(ds, q, qids, 5).to_pandas()
+    for i in range(3):
+        mine = out[out["query_id"] == i]["vec_id"].to_numpy()
+        same_cluster = (mine // 25 == i // 25).mean()
+        assert same_cluster >= 0.8, (i, mine)
+    again = pq_topk(ds, q, qids, 5).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    books = _train_pq_codebooks(ds)
+    t = pa.table({"embedding": pa.array([list(map(float, v))
+                                         for v in members])})
+    codes = _pq_encode(_unit(_mat(t["embedding"])), books)
+    assert codes.min() >= 0 and codes.max() < PQ_KS
