@@ -348,6 +348,7 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "keyword_search_indexed",
     "ann_pq_topk",
     "doc_repetition_signals",
     "unigram_commonness",

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "doc_repetition_signals",
     "unigram_commonness",
     "ann_pq_topk",
+    "keyword_search_indexed",
 ]
 
 

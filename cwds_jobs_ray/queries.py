@@ -2917,6 +2917,30 @@ def unigram_commonness(sf_dir: str):
                           batch_size=4096)
 
 
+KEYWORD_QUERY_AND = ["dup", "join"]  # one rare + one common token
+
+
+def keyword_search_indexed(sf_dir: str):
+    """Indexed keyword AND-search over the documents corpus: build the
+    token-sharded inverted index once (cached per sf under /tmp, the same
+    discipline as the replay workload cache), then answer from the index —
+    the search reads ONLY the shard files the query tokens hash to, never
+    the corpus (see pipelines/text_index.py for the scale argument; the
+    reference's analogous surface is its Elasticsearch index build). The
+    oracle scans the raw table with list_contains — same answer, linear
+    cost; the index path's value is the lookup-cost shape."""
+    import hashlib
+    import os
+
+    from .pipelines.text_index import build_text_index, search_text_index
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/cwds_jobs_ray_cache/text_index_{tag}"
+    if not os.path.isfile(f"{idx}/meta.json"):
+        build_text_index(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]), idx)
+    return search_text_index(idx, KEYWORD_QUERY_AND, mode="and")
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3020,6 +3044,7 @@ QUERIES = {
     "daily_count_anomalies": daily_count_anomalies,
     "doc_repetition_signals": doc_repetition_signals,
     "unigram_commonness": unigram_commonness,
+    "keyword_search_indexed": keyword_search_indexed,
 }
 
 
@@ -3779,5 +3804,10 @@ ORACLE_SQL.update({
                CAST(sc AS BIGINT) AS sum_freq,
                CAST(sc AS DOUBLE) / n AS mean_freq
         FROM s
+    """,
+    "keyword_search_indexed": """
+        SELECT doc_id FROM documents
+        WHERE list_contains(string_split(text, ' '), 'dup')
+          AND list_contains(string_split(text, ' '), 'join')
     """,
 })
