@@ -130,3 +130,240 @@ def search_text_index(index_dir: str, tokens: list[str],
         acc = (np.intersect1d(acc, ids) if mode == "and"
                else np.union1d(acc, ids))
     return pa.table({"doc_id": pa.array(np.sort(acc), pa.int64())})
+
+
+# ------------------------------------------------------- CDC-synced index
+
+class TranscriptTextIndex:
+    """Inverted text index over the committed transcript table, kept in
+    sync INCREMENTALLY from the change data feed — the reference's core
+    loop (changed entities -> search-index update,
+    /root/reference/jobs-common/src/main/java/gov/ca/cwds/jobs/common/elastic/ElasticSearchBulkCollector.java:24-107
+    plus its delete notifications), lake-native.
+
+    Postings are distinct ``(token, conv_id, turn_idx)`` rows, token-
+    sharded like ``build_text_index``. ``sync()`` reads
+    ``read_changes(applied, current)`` and turns each feed row into signed
+    posting deltas — I adds the post-image's tokens, D removes the
+    pre-image's, U removes ``prev_text``'s and adds ``text``'s (tokens in
+    both cancel) — then rewrites ONLY the shards that received deltas.
+    Cost tracks the delta twice over: feed cost is delta-proportional by
+    construction, and the shard rewrite touches only changed tokens'
+    shards. Commit mirrors the views' publish protocol (versioned shard
+    files, state json replaced last, stale files GC'd); a vacuumed
+    ``applied_version`` falls back to ``full_build`` the same way
+    ``MaterializedView.refresh`` does."""
+
+    def __init__(self, job, name: str = "text_index",
+                 n_shards: int = N_INDEX_SHARDS):
+        self.job = job
+        self.dir = os.path.join(job.table_dir, name)
+        self.n_shards = n_shards
+
+    # ---------------------------------------------------------- state
+    def _state(self) -> dict | None:
+        path = os.path.join(self.dir, "index.json")
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit(self, applied_version: int, files: dict[int, str]):
+        from ..stages.merge import fsync_dir
+        os.makedirs(self.dir, exist_ok=True)
+        state = {"applied_version": applied_version,
+                 "n_shards": self.n_shards,
+                 "files": {str(k): v for k, v in files.items()}}
+        tmp = os.path.join(self.dir, "index.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.dir, "index.json"))
+        fsync_dir(self.dir)
+        live = set(state["files"].values()) | {"index.json"}
+        for fn in os.listdir(self.dir):
+            if fn.endswith(".parquet") and fn not in live:
+                os.remove(os.path.join(self.dir, fn))
+
+    @staticmethod
+    def _postings_from(t: pa.Table, text_col: str,
+                       sign: int, mask: np.ndarray) -> pd.DataFrame:
+        """Distinct (token, conv_id, turn_idx, sign) rows for the masked
+        subset's ``text_col`` (nulls tokenize to nothing)."""
+        if not mask.any():
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "conv_id": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype=np.int64),
+                                 "sign": pd.Series([], dtype=np.int64)})
+        sub = t.filter(pa.array(mask))
+        txt = pc.fill_null(sub[text_col], "")
+        words = pc.split_pattern(txt, " ")
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        conv = np.asarray(sub["conv_id"].to_pylist(), dtype=object)[par]
+        turn = sub["turn_idx"].to_numpy(zero_copy_only=False)[par]
+        df = pd.DataFrame({"token": flat.to_pandas(), "conv_id": conv,
+                           "turn_idx": turn.astype(np.int64)})
+        df = df[df["token"] != ""].drop_duplicates()
+        df["sign"] = np.int64(sign)
+        return df
+
+    def _shard_tables(self, ds) -> "ray.data.Dataset":
+        """Distinct postings of a table Dataset, bucketed by token shard."""
+        n_shards = self.n_shards
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = self._postings_from(t, "text", 1,
+                                     np.ones(t.num_rows, bool))
+            tok = pa.array(df["token"].tolist(), pa.string())
+            out = pa.table({
+                "token": tok,
+                "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
+                "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64))})
+            return out.append_column(
+                "_bucket", pa.array(_token_shard(tok, n_shards)))
+
+        return ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def _write_shards(self, bucketed, version: int,
+                      old_files: dict[int, str] | None) -> dict[int, str]:
+        """Per-shard reduce: merge signed rows with the existing shard (if
+        any), keep keys with positive net count, write the new versioned
+        shard file. Returns the updated files map."""
+        from ..stages.waves import wave_group_reduce
+        out_dir, n_shards = self.dir, self.n_shards
+        olds = {int(k): v for k, v in (old_files or {}).items()}
+
+        def reduce_shard(t: pa.Table) -> pa.Table:
+            empty = pa.table({"shard": pa.array([], pa.int64()),
+                              "rel": pa.array([], pa.string())})
+            if t.num_rows == 0:
+                return empty
+            df = t.to_pandas()
+            if "sign" not in df.columns:
+                df["sign"] = np.int64(1)
+            shard = int(_token_shard(pa.array([df["token"].iloc[0]]),
+                                     n_shards)[0])
+            if shard in olds:
+                old = pq.read_table(f"{out_dir}/{olds[shard]}").to_pandas()
+                old["sign"] = np.int64(1)
+                df = pd.concat([old, df], ignore_index=True)
+            net = df.groupby(["token", "conv_id", "turn_idx"],
+                             sort=False)["sign"].sum().reset_index()
+            net = net[net["sign"] > 0] \
+                .sort_values(["token", "conv_id", "turn_idx"],
+                             kind="stable")
+            rel = f"shard_{shard:05d}.v{version}.parquet"
+            pq.write_table(
+                pa.table({
+                    "token": pa.array(net["token"].tolist(), pa.string()),
+                    "conv_id": pa.array(net["conv_id"].tolist(),
+                                        pa.string()),
+                    "turn_idx": pa.array(
+                        net["turn_idx"].to_numpy(np.int64))}),
+                f"{out_dir}/{rel}")
+            return pa.table({"shard": pa.array([shard], pa.int64()),
+                             "rel": pa.array([rel], pa.string())})
+
+        os.makedirs(out_dir, exist_ok=True)
+        stats = wave_group_reduce(bucketed, "_bucket", n_shards,
+                                  reduce_shard).to_pandas()
+        files = dict(olds)
+        files.update({int(s): r for s, r in zip(stats["shard"],
+                                                stats["rel"])})
+        return files
+
+    # ------------------------------------------------------- lifecycle
+    def full_build(self) -> dict:
+        cur = self.job._load_manifest_or_raise().table_version
+        ds = self.job.read_table(columns=["conv_id", "turn_idx", "text"])
+        files = self._write_shards(self._shard_tables(ds), cur, None)
+        self._commit(cur, files)
+        return self._state()
+
+    def sync(self) -> dict:
+        """Apply the change feed from the index's applied version to the
+        table's current version; a no-op when already current."""
+        st = self._state()
+        if st is None:
+            return self.full_build()
+        cur = self.job._load_manifest_or_raise().table_version
+        applied = st["applied_version"]
+        if cur == applied:
+            return st
+        self.n_shards = int(st["n_shards"])  # pinned at build time
+        from ..state.manifest import Manifest
+        if applied not in Manifest.retained_versions(self.job.table_dir):
+            return self.full_build()  # feed base vacuumed: rebuild
+        feed = self.job.read_changes(applied, cur)
+        n_shards = self.n_shards
+        postings_from = self._postings_from
+
+        def delta_partial(t: pa.Table) -> pa.Table:
+            ct = np.asarray(t["change_type"].to_pylist(), dtype=object)
+            add = postings_from(t, "text", 1, (ct == "I") | (ct == "U"))
+            rm_d = postings_from(t, "text", -1, ct == "D")
+            rm_u = postings_from(t, "prev_text", -1, ct == "U")
+            df = pd.concat([add, rm_d, rm_u], ignore_index=True)
+            # a token in both images of a U cancels here, not in the shard
+            df = df.groupby(["token", "conv_id", "turn_idx"],
+                            sort=False)["sign"].sum().reset_index()
+            df = df[df["sign"] != 0]
+            tok = pa.array(df["token"].tolist(), pa.string())
+            out = pa.table({
+                "token": tok,
+                "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
+                "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64)),
+                "sign": pa.array(df["sign"].to_numpy(np.int64))})
+            return out.append_column(
+                "_bucket", pa.array(_token_shard(tok, n_shards)))
+
+        files = self._write_shards(
+            feed.map_batches(delta_partial, batch_format="pyarrow",
+                             batch_size=8192),
+            cur, st["files"])
+        self._commit(cur, files)
+        return self._state()
+
+    # ----------------------------------------------------------- query
+    def search(self, tokens: list[str], mode: str = "and") -> pa.Table:
+        """(conv_id, turn_idx) of live turns containing ALL/ANY tokens;
+        reads only the query tokens' shard files."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        st = self._state()
+        if st is None:
+            raise RuntimeError("index has never been built")
+        empty = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                              "turn_idx": pd.Series([], dtype=np.int64)})
+        toks = sorted(set(tokens))
+        per_token: list[pd.DataFrame] = []
+        if toks:
+            shards = _token_shard(pa.array(toks, pa.string()),
+                                  int(st["n_shards"]))
+            files = {int(k): v for k, v in st["files"].items()}
+            for shard in sorted(set(shards.tolist())):
+                mine = [t for t, s in zip(toks, shards) if s == shard]
+                if shard not in files:
+                    per_token.extend(empty for _ in mine)
+                    continue
+                t = pq.read_table(f"{self.dir}/{files[shard]}",
+                                  filters=[("token", "in", mine)])
+                df = t.to_pandas()
+                per_token.extend(
+                    df[df["token"] == tk][["conv_id", "turn_idx"]]
+                    for tk in mine)
+        if not per_token:
+            acc = empty
+        else:
+            acc = per_token[0]
+            for d in per_token[1:]:
+                acc = (acc.merge(d, on=["conv_id", "turn_idx"])
+                       if mode == "and"
+                       else pd.concat([acc, d]).drop_duplicates())
+        acc = acc.sort_values(["conv_id", "turn_idx"], kind="stable")
+        return pa.table({
+            "conv_id": pa.array(acc["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(acc["turn_idx"].to_numpy(np.int64))})

@@ -1,0 +1,164 @@
+"""CDC-synced inverted text index: sync(index@vA, change feed vA->vB) must
+equal a full rebuild at vB — shard-for-shard — including U rows whose
+before-image tokens must drop out, whole-conversation deletes, and tokens
+shared by both images of a U (which must cancel, not double-remove). Also:
+idempotent second sync, vacuumed-feed fallback, search vs naive scan,
+multi-step sync chains."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from cwds_jobs_ray.pipelines.cdc import CDCJob
+from cwds_jobs_ray.pipelines.text_index import TranscriptTextIndex
+from cwds_jobs_ray.synth import WalSpec, synthesize
+
+SPEC = WalSpec(seed=77, n_convs=30, turns_per_conv=4, n_events=600,
+               n_segments=8, dup_redelivery_frac=0.05, out_of_order_frac=0.15,
+               schema_v1_segments=0, hot_key_frac=0.3)
+P = 4
+
+
+def _half_runs(workdir):
+    d = synthesize(SPEC, workdir)
+    wal = os.path.join(workdir, "wal")
+    segs = sorted(os.listdir(wal))
+    wal_a = os.path.join(workdir, "wal_a")
+    os.makedirs(wal_a)
+    for s in segs[:len(segs) // 2]:
+        os.link(os.path.join(wal, s), os.path.join(wal_a, s))
+    table_dir = os.path.join(workdir, "table")
+    job_a = CDCJob(table_dir, wal_a, num_partitions=P, events_per_batch=150)
+    job_a.run(base_path=d["base_path"])
+    job_b = CDCJob(table_dir, wal, num_partitions=P, events_per_batch=150)
+    return d, job_a, job_b, table_dir
+
+
+def _shards(idx: TranscriptTextIndex) -> dict:
+    st = idx._state()
+    return {int(k): pq.read_table(f"{idx.dir}/{v}")
+            for k, v in st["files"].items()}
+
+
+def _naive_postings(job) -> set:
+    t = job.read_table_arrow()
+    out = set()
+    for conv, turn, text in zip(t["conv_id"].to_pylist(),
+                                t["turn_idx"].to_pylist(),
+                                t["text"].to_pylist()):
+        for tok in set((text or "").split(" ")):
+            if tok:
+                out.add((tok, conv, turn))
+    return out
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_sync_equals_rebuild(workdir):
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    idx = TranscriptTextIndex(job_a, n_shards=5)
+    idx.full_build()
+    job_b.run()
+    synced = TranscriptTextIndex(job_b, n_shards=5)
+    synced.sync()
+    rebuilt = TranscriptTextIndex(job_b, name="text_index_rebuild",
+                                  n_shards=5)
+    rebuilt.full_build()
+    a, b = _shards(synced), _shards(rebuilt)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].equals(b[k]), f"shard {k} differs after sync"
+    # and both equal the naive posting set of the final live state
+    got = {(tok, c, t) for k in a
+           for tok, c, t in zip(a[k]["token"].to_pylist(),
+                                a[k]["conv_id"].to_pylist(),
+                                a[k]["turn_idx"].to_pylist())}
+    assert got == _naive_postings(job_b)
+
+
+def test_second_sync_is_noop(workdir):
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    TranscriptTextIndex(job_a, n_shards=5).full_build()
+    job_b.run()
+    idx = TranscriptTextIndex(job_b, n_shards=5)
+    st1 = idx.sync()
+    st2 = idx.sync()
+    assert st1 == st2
+
+
+def test_sync_after_vacuum_falls_back_to_rebuild(workdir):
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    idx_a = TranscriptTextIndex(job_a, n_shards=5)
+    idx_a.full_build()
+    applied = idx_a._state()["applied_version"]
+    job_b.run()
+    job_b.vacuum(keep_last=1)
+    from cwds_jobs_ray.state.manifest import Manifest
+    assert applied not in Manifest.retained_versions(table_dir)
+    idx = TranscriptTextIndex(job_b, n_shards=5)
+    st = idx.sync()  # must not raise; rebuilds
+    assert st["applied_version"] == \
+        job_b._load_manifest_or_raise().table_version
+    got = {(tok, c, t) for k, tb in _shards(idx).items()
+           for tok, c, t in zip(tb["token"].to_pylist(),
+                                tb["conv_id"].to_pylist(),
+                                tb["turn_idx"].to_pylist())}
+    assert got == _naive_postings(job_b)
+
+
+def test_search_matches_naive_scan(workdir):
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    TranscriptTextIndex(job_a, n_shards=5).full_build()
+    job_b.run()
+    idx = TranscriptTextIndex(job_b, n_shards=5)
+    idx.sync()
+    t = job_b.read_table_arrow()
+    rows = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+                    t["text"].to_pylist()))
+    for tokens, mode in ([["lsn"], "and"], [["lsn", "merge"], "and"],
+                         [["lsn", "merge"], "or"], [["zzz_absent"], "and"],
+                         [["plan", "zzz_absent"], "or"]):
+        got = idx.search(tokens, mode)
+        got_set = set(zip(got["conv_id"].to_pylist(),
+                          got["turn_idx"].to_pylist()))
+        if mode == "and":
+            exp = {(c, ti) for c, ti, tx in rows
+                   if all(tok in (tx or "").split(" ") for tok in tokens)}
+        else:
+            exp = {(c, ti) for c, ti, tx in rows
+                   if any(tok in (tx or "").split(" ") for tok in tokens)}
+        assert got_set == exp, (tokens, mode)
+
+
+def test_multi_step_sync_chain(workdir):
+    """Sync after EVERY segment-sized drain (4 steps) must equal a rebuild
+    at the end — deltas compose across commits."""
+    d = synthesize(SPEC, workdir)
+    wal = os.path.join(workdir, "wal")
+    segs = sorted(os.listdir(wal))
+    table_dir = os.path.join(workdir, "table")
+    steps = [2, 4, 6, len(segs)]
+    prev = None
+    for i, upto in enumerate(steps):
+        wd = os.path.join(workdir, f"wal_{i}")
+        os.makedirs(wd)
+        for s in segs[:upto]:
+            os.link(os.path.join(wal, s), os.path.join(wd, s))
+        job = CDCJob(table_dir, wd, num_partitions=P, events_per_batch=150)
+        job.run(base_path=d["base_path"] if i == 0 else None)
+        idx = TranscriptTextIndex(job, n_shards=5)
+        idx.sync()  # first call = full_build
+        prev = job
+    rebuilt = TranscriptTextIndex(prev, name="text_index_rebuild",
+                                  n_shards=5)
+    rebuilt.full_build()
+    a, b = _shards(TranscriptTextIndex(prev, n_shards=5)), _shards(rebuilt)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].equals(b[k]), f"shard {k} differs after chained syncs"
