@@ -195,6 +195,45 @@ def _transcript_search_sync(sf_dir: str):
     return idx.search(SEARCH_TOKENS, mode="and")
 
 
+RANK_K = 25
+
+
+def _transcript_search_ranked(sf_dir: str):
+    """Ranked retrieval from the CDC-synced index: same build->drain->sync
+    flow as ``transcript_search_sync``, then top-RANK_K turns by summed
+    stored term frequency over the query tokens — the postings now carry
+    tf (maintained through I/U/D deltas), so the ranking is answered
+    entirely from the index and must hash-match a SQL recount of the
+    final replayed state."""
+    from cwds_jobs_ray.pipelines.cdc import CDCJob
+    from cwds_jobs_ray.pipelines.text_index import TranscriptTextIndex
+
+    work = _replay_workload(sf_dir)
+    _half, wal_a = _cdf_wal_halves(work)
+    table_dir = f"{work}/table_tsr"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    job_a = CDCJob(table_dir, wal_a, num_partitions=16,
+                   events_per_batch=2_000_000)
+    job_a.run(base_path=f"{work}/base/base.parquet")
+    TranscriptTextIndex(job_a).full_build()
+    job_b = CDCJob(table_dir, f"{work}/wal", num_partitions=16,
+                   events_per_batch=2_000_000)
+    job_b.run()
+    idx = TranscriptTextIndex(job_b)
+    idx.sync()
+    return idx.search_ranked(SEARCH_TOKENS, RANK_K)
+
+
+def _transcript_search_ranked_oracle_sql() -> str:
+    terms = " + ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        for t in SEARCH_TOKENS)
+    return (f"SELECT conv_id, turn_idx, CAST(score AS BIGINT) AS score "
+            f"FROM (SELECT conv_id, turn_idx, {terms} AS score FROM "
+            f"({_transcript_replay_oracle_sql()})) WHERE score > 0 "
+            f"ORDER BY score DESC, conv_id, turn_idx LIMIT {RANK_K}")
+
+
 def _transcript_search_oracle_sql() -> str:
     conds = " AND ".join(
         f"list_contains(string_split(text, ' '), '{t}')"
@@ -386,6 +425,7 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "transcript_search_ranked",
     "transcript_search_sync",
     "keyword_search_indexed",
     "ann_pq_topk",
@@ -437,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     full["transcript_view_ivm"] = _transcript_view_ivm
     full["transcript_view_ivm_by_role"] = _transcript_view_ivm_by_role
     full["transcript_search_sync"] = _transcript_search_sync
+    full["transcript_search_ranked"] = _transcript_search_ranked
     # never-driver-graded rows first so a prefix sample covers them
     out = {k: full[k] for k in _NEVER_DRIVER_GRADED if k in full}
     out.update(full)
@@ -735,5 +776,6 @@ def oracle_sql() -> dict[str, str]:
     out["transcript_view_ivm"] = _transcript_view_ivm_oracle_sql()
     out["transcript_view_ivm_by_role"] = _transcript_view_ivm_by_role_oracle_sql()
     out["transcript_search_sync"] = _transcript_search_oracle_sql()
+    out["transcript_search_ranked"] = _transcript_search_ranked_oracle_sql()
     out.update(_golden_oracle_sqls())
     return out

@@ -189,13 +189,15 @@ class TranscriptTextIndex:
     @staticmethod
     def _postings_from(t: pa.Table, text_col: str,
                        sign: int, mask: np.ndarray) -> pd.DataFrame:
-        """Distinct (token, conv_id, turn_idx, sign) rows for the masked
-        subset's ``text_col`` (nulls tokenize to nothing)."""
+        """(token, conv_id, turn_idx, w) rows for the masked subset's
+        ``text_col`` — ``w`` is the SIGNED term frequency (sign * tf), so
+        the same groupby-sum merge maintains presence (net w > 0) AND the
+        stored tf (nulls tokenize to nothing)."""
         if not mask.any():
             return pd.DataFrame({"token": pd.Series([], dtype=object),
                                  "conv_id": pd.Series([], dtype=object),
                                  "turn_idx": pd.Series([], dtype=np.int64),
-                                 "sign": pd.Series([], dtype=np.int64)})
+                                 "w": pd.Series([], dtype=np.int64)})
         sub = t.filter(pa.array(mask))
         txt = pc.fill_null(sub[text_col], "")
         words = pc.split_pattern(txt, " ")
@@ -205,8 +207,10 @@ class TranscriptTextIndex:
         turn = sub["turn_idx"].to_numpy(zero_copy_only=False)[par]
         df = pd.DataFrame({"token": flat.to_pandas(), "conv_id": conv,
                            "turn_idx": turn.astype(np.int64)})
-        df = df[df["token"] != ""].drop_duplicates()
-        df["sign"] = np.int64(sign)
+        df = df[df["token"] != ""] \
+            .groupby(["token", "conv_id", "turn_idx"], sort=False) \
+            .size().rename("w").reset_index()
+        df["w"] = (np.int64(sign) * df["w"].to_numpy()).astype(np.int64)
         return df
 
     def _shard_tables(self, ds) -> "ray.data.Dataset":
@@ -220,7 +224,8 @@ class TranscriptTextIndex:
             out = pa.table({
                 "token": tok,
                 "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
-                "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64))})
+                "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64)),
+                "w": pa.array(df["w"].to_numpy(np.int64))})
             return out.append_column(
                 "_bucket", pa.array(_token_shard(tok, n_shards)))
 
@@ -242,17 +247,15 @@ class TranscriptTextIndex:
             if t.num_rows == 0:
                 return empty
             df = t.to_pandas()
-            if "sign" not in df.columns:
-                df["sign"] = np.int64(1)
             shard = int(_token_shard(pa.array([df["token"].iloc[0]]),
                                      n_shards)[0])
             if shard in olds:
                 old = pq.read_table(f"{out_dir}/{olds[shard]}").to_pandas()
-                old["sign"] = np.int64(1)
+                old = old.rename(columns={"tf": "w"})
                 df = pd.concat([old, df], ignore_index=True)
             net = df.groupby(["token", "conv_id", "turn_idx"],
-                             sort=False)["sign"].sum().reset_index()
-            net = net[net["sign"] > 0] \
+                             sort=False)["w"].sum().reset_index()
+            net = net[net["w"] > 0] \
                 .sort_values(["token", "conv_id", "turn_idx"],
                              kind="stable")
             rel = f"shard_{shard:05d}.v{version}.parquet"
@@ -262,7 +265,8 @@ class TranscriptTextIndex:
                     "conv_id": pa.array(net["conv_id"].tolist(),
                                         pa.string()),
                     "turn_idx": pa.array(
-                        net["turn_idx"].to_numpy(np.int64))}),
+                        net["turn_idx"].to_numpy(np.int64)),
+                    "tf": pa.array(net["w"].to_numpy(np.int64))}),
                 f"{out_dir}/{rel}")
             return pa.table({"shard": pa.array([shard], pa.int64()),
                              "rel": pa.array([rel], pa.string())})
@@ -307,16 +311,16 @@ class TranscriptTextIndex:
             rm_d = postings_from(t, "text", -1, ct == "D")
             rm_u = postings_from(t, "prev_text", -1, ct == "U")
             df = pd.concat([add, rm_d, rm_u], ignore_index=True)
-            # a token in both images of a U cancels here, not in the shard
+            # equal tf in both images of a U cancels here, not in the shard
             df = df.groupby(["token", "conv_id", "turn_idx"],
-                            sort=False)["sign"].sum().reset_index()
-            df = df[df["sign"] != 0]
+                            sort=False)["w"].sum().reset_index()
+            df = df[df["w"] != 0]
             tok = pa.array(df["token"].tolist(), pa.string())
             out = pa.table({
                 "token": tok,
                 "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
                 "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64)),
-                "sign": pa.array(df["sign"].to_numpy(np.int64))})
+                "w": pa.array(df["w"].to_numpy(np.int64))})
             return out.append_column(
                 "_bucket", pa.array(_token_shard(tok, n_shards)))
 
@@ -367,3 +371,41 @@ class TranscriptTextIndex:
         return pa.table({
             "conv_id": pa.array(acc["conv_id"].tolist(), pa.string()),
             "turn_idx": pa.array(acc["turn_idx"].to_numpy(np.int64))})
+
+    def search_ranked(self, tokens: list[str], k: int) -> pa.Table:
+        """Top-k turns by summed stored term frequency over the query
+        tokens (OR semantics) — ranked retrieval straight from the synced
+        postings, no table scan; ties break on (conv_id, turn_idx). All-
+        integer scoring, so the result hash-matches a SQL recount of the
+        live state."""
+        st = self._state()
+        if st is None:
+            raise RuntimeError("index has never been built")
+        toks = sorted(set(tokens))
+        parts: list[pd.DataFrame] = []
+        if toks:
+            shards = _token_shard(pa.array(toks, pa.string()),
+                                  int(st["n_shards"]))
+            files = {int(kk): v for kk, v in st["files"].items()}
+            for shard in sorted(set(shards.tolist())):
+                mine = [t for t, s in zip(toks, shards) if s == shard]
+                if shard not in files:
+                    continue
+                t = pq.read_table(f"{self.dir}/{files[shard]}",
+                                  filters=[("token", "in", mine)])
+                parts.append(t.to_pandas()[["conv_id", "turn_idx", "tf"]])
+        if parts:
+            acc = pd.concat(parts, ignore_index=True) \
+                .groupby(["conv_id", "turn_idx"], sort=False)["tf"].sum() \
+                .rename("score").reset_index() \
+                .sort_values(["score", "conv_id", "turn_idx"],
+                             ascending=[False, True, True], kind="stable") \
+                .head(k)
+        else:
+            acc = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                "turn_idx": pd.Series([], dtype=np.int64),
+                                "score": pd.Series([], dtype=np.int64)})
+        return pa.table({
+            "conv_id": pa.array(acc["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(acc["turn_idx"].to_numpy(np.int64)),
+            "score": pa.array(acc["score"].to_numpy(np.int64))})

@@ -162,3 +162,30 @@ def test_multi_step_sync_chain(workdir):
     assert set(a) == set(b)
     for k in a:
         assert a[k].equals(b[k]), f"shard {k} differs after chained syncs"
+
+
+def test_ranked_search_matches_naive_tf_recount(workdir):
+    """Top-k by summed stored tf (maintained through sync deltas) must
+    equal a naive recount over the live table — including tf CHANGES via
+    U rows (same token kept, different repeat count)."""
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    TranscriptTextIndex(job_a, n_shards=5).full_build()
+    job_b.run()
+    idx = TranscriptTextIndex(job_b, n_shards=5)
+    idx.sync()
+    t = job_b.read_table_arrow()
+    tokens, k = ["lsn", "merge"], 10
+    scores = {}
+    for c, ti, tx in zip(t["conv_id"].to_pylist(),
+                         t["turn_idx"].to_pylist(),
+                         t["text"].to_pylist()):
+        s = sum((tx or "").split(" ").count(tok) for tok in tokens)
+        if s > 0:
+            scores[(c, ti)] = s
+    exp = sorted(scores.items(),
+                 key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
+    got = idx.search_ranked(tokens, k)
+    got_rows = list(zip(got["conv_id"].to_pylist(),
+                        got["turn_idx"].to_pylist(),
+                        got["score"].to_pylist()))
+    assert got_rows == [(c, ti, s) for (c, ti), s in exp]
