@@ -189,3 +189,72 @@ def test_ranked_search_matches_naive_tf_recount(workdir):
                         got["turn_idx"].to_pylist(),
                         got["score"].to_pylist()))
     assert got_rows == [(c, ti, s) for (c, ti), s in exp]
+
+
+def test_sync_across_schema_evolution(workdir):
+    """WAL with v1 segments (pre-evolution schema, tool column absent)
+    crossing the build/sync cut: the index consumes text through the
+    unified read path, so sync must still equal a rebuild."""
+    spec = WalSpec(seed=78, n_convs=30, turns_per_conv=4, n_events=600,
+                   n_segments=8, dup_redelivery_frac=0.05,
+                   out_of_order_frac=0.15, schema_v1_segments=3,
+                   hot_key_frac=0.3)
+    d = synthesize(spec, workdir)
+    wal = os.path.join(workdir, "wal")
+    segs = sorted(os.listdir(wal))
+    wal_a = os.path.join(workdir, "wal_a")
+    os.makedirs(wal_a)
+    for s in segs[:len(segs) // 2]:
+        os.link(os.path.join(wal, s), os.path.join(wal_a, s))
+    table_dir = os.path.join(workdir, "table")
+    job_a = CDCJob(table_dir, wal_a, num_partitions=P, events_per_batch=150)
+    job_a.run(base_path=d["base_path"])
+    TranscriptTextIndex(job_a, n_shards=5).full_build()
+    job_b = CDCJob(table_dir, wal, num_partitions=P, events_per_batch=150)
+    job_b.run()
+    synced = TranscriptTextIndex(job_b, n_shards=5)
+    synced.sync()
+    rebuilt = TranscriptTextIndex(job_b, name="text_index_rebuild",
+                                  n_shards=5)
+    rebuilt.full_build()
+    a, b = _shards(synced), _shards(rebuilt)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].equals(b[k]), f"shard {k} differs across evolution"
+
+
+def test_sync_crash_at_commit_recovers(workdir, monkeypatch):
+    """Crash AFTER the new shard files are written but BEFORE index.json
+    replaces: state must still point at the old version (search untouched),
+    and a plain re-sync must complete and equal a rebuild — the same
+    publish-after-data recovery the table manifest relies on."""
+    d, job_a, job_b, table_dir = _half_runs(workdir)
+    idx_a = TranscriptTextIndex(job_a, n_shards=5)
+    idx_a.full_build()
+    st_before = idx_a._state()
+    job_b.run()
+    idx = TranscriptTextIndex(job_b, n_shards=5)
+    calls = {"n": 0}
+    real_commit = TranscriptTextIndex._commit
+
+    def exploding_commit(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before publish")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(TranscriptTextIndex, "_commit", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.sync()
+    # state unchanged: readers still see the pre-sync index
+    assert TranscriptTextIndex(job_b, n_shards=5)._state() == st_before
+    # plain retry completes and equals a rebuild
+    idx2 = TranscriptTextIndex(job_b, n_shards=5)
+    idx2.sync()
+    rebuilt = TranscriptTextIndex(job_b, name="text_index_rebuild",
+                                  n_shards=5)
+    rebuilt.full_build()
+    a, b = _shards(idx2), _shards(rebuilt)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].equals(b[k]), f"shard {k} differs after crash-resume"
