@@ -2941,6 +2941,103 @@ def keyword_search_indexed(sf_dir: str):
     return search_text_index(idx, KEYWORD_QUERY_AND, mode="and")
 
 
+CHUNK_WORDS = 8
+CHUNK_STRIDE = 6
+
+
+def chunk_documents(sf_dir: str):
+    """Training-data chunker: split each document into overlapping
+    fixed-word windows (CHUNK_WORDS words every CHUNK_STRIDE — the
+    standard pre-training context-window slicer), one output row per
+    chunk (1 -> k flat map, entirely block-local: a document is one row,
+    so chunking shuffles nothing at any scale). Chunk construction is the
+    exploded (chunk, word) frame + one grouped join — the same bounded
+    per-GROUP join discipline as ``string_agg_order_lines`` (<= 8 words
+    per chunk), never per-row Python over the table."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        doc_word0 = np.r_[0, np.cumsum(lens)][:-1]  # first word, per doc
+        n_chunks = (np.maximum(lens, 1) - 1) // CHUNK_STRIDE + 1
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64())})
+        doc_of_chunk = np.repeat(np.arange(len(ids)), n_chunks)
+        chunk0 = np.r_[0, np.cumsum(n_chunks)][:-1]
+        chunk_idx = np.arange(total) - chunk0[doc_of_chunk]
+        start = chunk_idx * CHUNK_STRIDE
+        cw = np.minimum(CHUNK_WORDS, lens[doc_of_chunk] - start)
+        # explode to (chunk, word-position) pairs
+        pair_chunk = np.repeat(np.arange(total), cw)
+        pair0 = np.r_[0, np.cumsum(cw)][:-1]
+        within = np.arange(int(cw.sum())) - pair0[pair_chunk]
+        word_pos = (doc_word0[doc_of_chunk] + start)[pair_chunk] + within
+        joined = pd.Series(flat[word_pos]) \
+            .groupby(pair_chunk, sort=True).agg(" ".join)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of_chunk], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": pa.array(joined.to_numpy(), pa.string()),
+            "n_words": pa.array(cw, pa.int64())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=4096)
+
+
+PACK_BUDGET = 256  # words per training bin
+
+
+def pack_documents_offsets(sf_dir: str):
+    """Sequence packing (concat-then-slice): documents are laid out in one
+    deterministic stream (doc_id order) and every document is assigned the
+    training bin its starting word offset falls into (bin = offset //
+    PACK_BUDGET) — the packing scheme that concatenates a corpus and cuts
+    fixed context windows. Needs ONE global ordered prefix sum: per-block
+    word totals are O(#blocks) driver metadata (never rows), exclusive-
+    cumsum'd into per-block offsets, broadcast, and each block stamps its
+    rows locally — the same zipWithIndex shape as ``deterministic_shuffle``.
+    All-integer arithmetic -> hash-exact vs the SQL window oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": n.cast(pa.int64())})
+
+    counted = ds.map_batches(count, batch_format="pyarrow",
+                             batch_size=4096).sort("doc_id").materialize()
+    bounds = counted.map_batches(
+        lambda b: pa.table({
+            "first": pa.array([b["doc_id"][0].as_py()], pa.int64()),
+            "w": pa.array([int(pc.sum(b["n_words"]).as_py() or 0)],
+                          pa.int64())}),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    bounds = bounds.sort_values("first").reset_index(drop=True)
+    offsets = np.concatenate([[0], bounds["w"].to_numpy().cumsum()[:-1]])
+    bref = ray.put((bounds["first"].to_numpy(), offsets))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        firsts, offs = ray.get(bref)
+        start = offs[np.searchsorted(firsts, b["doc_id"][0].as_py())]
+        n = b["n_words"].to_numpy(zero_copy_only=False)
+        off = start + np.r_[0, np.cumsum(n)[:-1]]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": b["n_words"],
+            "stream_offset": pa.array(off, pa.int64()),
+            "bin_id": pa.array(off // PACK_BUDGET, pa.int64())})
+
+    return counted.map_batches(stamp, batch_format="pyarrow",
+                               batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3045,6 +3142,8 @@ QUERIES = {
     "doc_repetition_signals": doc_repetition_signals,
     "unigram_commonness": unigram_commonness,
     "keyword_search_indexed": keyword_search_indexed,
+    "chunk_documents": chunk_documents,
+    "pack_documents_offsets": pack_documents_offsets,
 }
 
 
@@ -3809,5 +3908,27 @@ ORACLE_SQL.update({
         SELECT doc_id FROM documents
         WHERE list_contains(string_split(text, ' '), 'dup')
           AND list_contains(string_split(text, ' '), 'join')
+    """,
+    "chunk_documents": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents)
+        SELECT doc_id,
+               CAST((i - 1) // 6 AS BIGINT) AS chunk_idx,
+               array_to_string(w[i:i+7], ' ') AS chunk_text,
+               CAST(least(len(w) - i + 1, 8) AS BIGINT) AS n_words
+        FROM w, UNNEST(generate_series(1, greatest(len(w), 1), 6)) t(i)
+    """,
+    "pack_documents_offsets": """
+        WITH w AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                   FROM documents),
+        o AS (SELECT doc_id, n_words,
+                CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM w)
+        SELECT doc_id, n_words, off AS stream_offset,
+               CAST(off // 256 AS BIGINT) AS bin_id
+        FROM o
     """,
 })

@@ -162,3 +162,48 @@ def test_repetition_signals_hand_computed(tmp_path):
         "top2_count": np.array([2, 2], np.int64),
         "top2_share": [0.5, 1.0]})
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_chunk_documents_hand_computed(tmp_path):
+    """10-word doc, 8-word chunks every 6: chunks at word 0 (8 words) and
+    word 6 (4 words). A 1-word doc yields one 1-word chunk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.queries import chunk_documents
+    words = [f"w{i}" for i in range(10)]
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], np.int64),
+        "text": [" ".join(words), "solo"],
+        "lang": "en", "source": "t",
+        "n_chars": np.array([10, 4], np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    got = chunk_documents(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "doc_id": np.array([0, 0, 1], np.int64),
+        "chunk_idx": np.array([0, 1, 0], np.int64),
+        "chunk_text": [" ".join(words[0:8]), " ".join(words[6:10]), "solo"],
+        "n_words": np.array([8, 4, 1], np.int64)})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pack_offsets_block_split_invariant(tmp_path):
+    """The global word-offset stream must not depend on block layout: a
+    7-row-block split of sf0.001 documents equals the whole-file run, and
+    offsets are the exclusive prefix sum of n_words in doc_id order."""
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.queries import pack_documents_offsets
+    t = pq.read_table(f"{SF}/documents.parquet")
+    pq.write_table(t, f"{tmp_path}/documents.parquet", row_group_size=7)
+    whole = pack_documents_offsets(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    split = pack_documents_offsets(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, split, check_exact=True)
+    n = whole["n_words"].to_numpy()
+    off = whole["stream_offset"].to_numpy()
+    assert (off == np.r_[0, np.cumsum(n)[:-1]]).all()
+    assert (whole["bin_id"].to_numpy() == off // 256).all()
