@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "unigram_commonness",
     "ann_pq_topk",
     "keyword_search_indexed",
+    "chunk_documents",
+    "pack_documents_offsets",
 ]
 
 
