@@ -3013,17 +3013,27 @@ def pack_documents_offsets(sf_dir: str):
 
     counted = ds.map_batches(count, batch_format="pyarrow",
                              batch_size=4096).sort("doc_id").materialize()
-    bounds = counted.map_batches(
-        lambda b: pa.table({
+    def block_bounds(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # a range-partitioned sort can emit empty blocks
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({
             "first": pa.array([b["doc_id"][0].as_py()], pa.int64()),
             "w": pa.array([int(pc.sum(b["n_words"]).as_py() or 0)],
-                          pa.int64())}),
-        batch_format="pyarrow", batch_size=None).to_pandas()
+                          pa.int64())})
+
+    bounds = counted.map_batches(block_bounds, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
     bounds = bounds.sort_values("first").reset_index(drop=True)
     offsets = np.concatenate([[0], bounds["w"].to_numpy().cumsum()[:-1]])
     bref = ray.put((bounds["first"].to_numpy(), offsets))
 
     def stamp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "stream_offset": pa.array([], pa.int64()),
+                             "bin_id": pa.array([], pa.int64())})
         firsts, offs = ray.get(bref)
         start = offs[np.searchsorted(firsts, b["doc_id"][0].as_py())]
         n = b["n_words"].to_numpy(zero_copy_only=False)
