@@ -258,3 +258,45 @@ def test_sync_crash_at_commit_recovers(workdir, monkeypatch):
     assert set(a) == set(b)
     for k in a:
         assert a[k].equals(b[k]), f"shard {k} differs after crash-resume"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000),
+       cut=st.integers(min_value=1, max_value=7),
+       shards=st.sampled_from([1, 3, 5]))
+def test_property_sync_equals_rebuild(tmp_path_factory, seed, cut, shards):
+    """Random workload seed x random WAL cut point x shard count: sync
+    from the cut version must equal a rebuild at the final version,
+    shard-for-shard (tf included)."""
+    workdir = str(tmp_path_factory.mktemp("tixprop"))
+    spec = WalSpec(seed=seed, n_convs=12, turns_per_conv=3, n_events=200,
+                   n_segments=8, dup_redelivery_frac=0.1,
+                   out_of_order_frac=0.2, schema_v1_segments=0,
+                   hot_key_frac=0.4)
+    d = synthesize(spec, workdir)
+    wal = os.path.join(workdir, "wal")
+    segs = sorted(os.listdir(wal))
+    wal_a = os.path.join(workdir, "wal_a")
+    os.makedirs(wal_a)
+    for s in segs[:cut]:
+        os.link(os.path.join(wal, s), os.path.join(wal_a, s))
+    table_dir = os.path.join(workdir, "table")
+    job_a = CDCJob(table_dir, wal_a, num_partitions=3, events_per_batch=60)
+    job_a.run(base_path=d["base_path"])
+    TranscriptTextIndex(job_a, n_shards=shards).full_build()
+    job_b = CDCJob(table_dir, wal, num_partitions=3, events_per_batch=60)
+    job_b.run()
+    synced = TranscriptTextIndex(job_b, n_shards=shards)
+    synced.sync()
+    rebuilt = TranscriptTextIndex(job_b, name="text_index_rebuild",
+                                  n_shards=shards)
+    rebuilt.full_build()
+    a, b = _shards(synced), _shards(rebuilt)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].equals(b[k]), (seed, cut, shards, k)
