@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "keyword_search_indexed",
     "chunk_documents",
     "pack_documents_offsets",
+    "pagerank_user_graph",
 ]
 
 

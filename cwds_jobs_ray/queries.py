@@ -3048,6 +3048,169 @@ def pack_documents_offsets(sf_dir: str):
                                batch_size=None)
 
 
+PR_SCALE = 10**12   # fixed-point rank unit
+PR_ITERS = 3
+PR_ALPHA_NUM, PR_ALPHA_DEN = 85, 100
+
+
+def pagerank_user_graph(sf_dir: str):
+    """Iterative PageRank over the "who acted next" user graph (edge
+    u -> v when v performed the next event after u within an event_type,
+    LEAD order) — the iterative-numeric distributed pattern (k-means and
+    pointer-jumping CC are the catalog's other iterative ops) made
+    HASH-EXACT: ranks live in integer fixed-point (PR_SCALE units), every
+    update is floor division / integer sums (order-independent), so
+    PR_ITERS unrolled iterations match the SQL oracle bit-for-bit —
+    dangling mass is dropped (documented variant, both sides identical).
+
+    Scale shape: edges are extracted per type-bucket (one keyed exchange +
+    per-bucket vectorized LEAD; at real scale the per-type order would be
+    range-salted with boundary stitching — the type cardinality here is
+    the synthetic corpus's 5); each iteration broadcasts the O(nodes)
+    rank/degree arrays via ``ray.put``, computes per-edge contributions
+    block-locally, and reduces per-destination partials through the same
+    bucketed wave as every keyed final — the classic map-reduce PageRank
+    with the big side (edges) never leaving the workers."""
+    from .stages.partition import hash_strings
+    from .stages.waves import wave_group_reduce
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    nb = _agg_buckets()
+
+    def type_bucket(t: pa.Table) -> pa.Table:
+        b = (hash_strings(t["event_type"]) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(b))
+
+    def lead_edges(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(["event_type", "event_id"],
+                                      kind="stable")
+        nxt = g.groupby("event_type", sort=False)["user_id"].shift(-1)
+        keep = nxt.notna() & (nxt != g["user_id"])
+        e = pd.DataFrame({"src": g["user_id"][keep].to_numpy(np.int64),
+                          "dst": nxt[keep].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        return pa.table({"src": pa.array(e["src"].to_numpy(np.int64)),
+                         "dst": pa.array(e["dst"].to_numpy(np.int64))})
+
+    per_type = wave_group_reduce(
+        ds.map_batches(type_bucket, batch_format="pyarrow"),
+        "_bucket", nb, lead_edges)
+
+    # global edge dedup: the same (src, dst) pair can arise under two
+    # event_types — re-key by src (a src never spans buckets, so
+    # per-bucket drop_duplicates IS the global dedup) and count degrees
+    # in the same pass
+    def src_bucket(t: pa.Table) -> pa.Table:
+        b = (t["src"].to_numpy(zero_copy_only=False)
+             % np.int64(nb)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(b))
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        e = t.to_pandas().drop_duplicates()
+        return pa.table({"src": pa.array(e["src"].to_numpy(np.int64)),
+                         "dst": pa.array(e["dst"].to_numpy(np.int64))})
+
+    edges = wave_group_reduce(
+        per_type.map_batches(src_bucket, batch_format="pyarrow"),
+        "_bucket", nb, dedup_bucket).materialize()
+
+    # node universe + out-degrees: O(nodes) driver state, broadcast once
+    # per iteration (the small side of map-reduce PageRank)
+    nodes = np.unique(_read(sf_dir, "events", columns=["user_id"])
+                      .to_pandas()["user_id"].to_numpy(np.int64))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("src", sort=False).size().rename("d") \
+            .reset_index()
+        return pa.table({"src": pa.array(g["src"].to_numpy(np.int64)),
+                         "d": pa.array(g["d"].to_numpy(np.int64))})
+
+    deg_rows = _tree_agg(
+        edges, deg_partial,
+        lambda t: (lambda g: pa.table(
+            {"src": pa.array(g["src"].to_numpy(np.int64)),
+             "d": pa.array(g["d"].to_numpy(np.int64))}))(
+            t.to_pandas().groupby("src", sort=False)["d"].sum()
+            .reset_index()),
+        bucket_on="src").to_pandas()
+    deg = np.zeros(len(nodes), np.int64)
+    if len(deg_rows):
+        di0 = np.searchsorted(nodes, deg_rows["src"].to_numpy(np.int64))
+        deg[di0] = deg_rows["d"].to_numpy(np.int64)
+    n = len(nodes)
+    base = (15 * PR_SCALE) // (100 * n)
+    rank = np.full(n, PR_SCALE // n, np.int64)
+
+    def partial_contrib(t: pa.Table, rref) -> pa.Table:
+        rk, dg, ix_keys, ix_vals = ray.get(rref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        si = ix_vals[np.searchsorted(ix_keys, src)]
+        c = rk[si] // dg[si]  # deg >= 1 for every edge src
+        g = pd.DataFrame({"dst": dst, "c": c}) \
+            .groupby("dst", sort=False)["c"].sum().reset_index()
+        out = pa.table({"dst": pa.array(g["dst"].to_numpy(np.int64)),
+                        "c": pa.array(g["c"].to_numpy(np.int64))})
+        b = (out["dst"].to_numpy(zero_copy_only=False)
+             % np.int64(nb)).astype(np.int64)
+        return out.append_column("_bucket", pa.array(b))
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("dst", sort=False)["c"].sum().reset_index()
+        return pa.table({"dst": pa.array(g["dst"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    ix_keys = nodes  # sorted by construction (np.unique)
+    ix_vals = np.arange(n, dtype=np.int64)
+    for _ in range(PR_ITERS):
+        rref = ray.put((rank, deg, ix_keys, ix_vals))
+        sums = wave_group_reduce(
+            edges.map_batches(lambda t, r=rref: partial_contrib(t, r),
+                              batch_format="pyarrow"),
+            "_bucket", nb, sum_bucket).to_pandas()
+        acc = np.zeros(n, np.int64)
+        di = ix_vals[np.searchsorted(ix_keys, sums["dst"].to_numpy(np.int64))]
+        acc[di] = sums["c"].to_numpy(np.int64)
+        rank = base + (PR_ALPHA_NUM * acc) // PR_ALPHA_DEN
+
+    return pa.table({"user_id": pa.array(nodes),
+                     "rank": pa.array(rank, pa.int64())})
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank oracle (aggregates are not allowed in
+    a recursive CTE term, so the PR_ITERS iterations are unrolled as
+    chained CTEs — each one plain integer joins/sums, bit-identical to
+    the engine's loop)."""
+    init = f"(SELECT {PR_SCALE} // n FROM cnt)"
+    basev = f"(SELECT (15 * {PR_SCALE}) // (100 * n) FROM cnt)"
+    parts = [f"""
+        WITH lead_ev AS (
+          SELECT user_id AS src,
+                 LEAD(user_id) OVER (PARTITION BY event_type
+                                     ORDER BY event_id) AS dst
+          FROM events),
+        edges AS (SELECT DISTINCT src, dst FROM lead_ev
+                  WHERE dst IS NOT NULL AND dst <> src),
+        nodes AS (SELECT DISTINCT user_id FROM events),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+        r0 AS (SELECT user_id, {init} AS rank FROM nodes)"""]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f""",
+        s{i} AS (SELECT e.dst AS user_id, SUM(r.rank // g.d) AS c
+                 FROM edges e JOIN r{i - 1} r ON r.user_id = e.src
+                 JOIN deg g ON g.src = e.src GROUP BY 1),
+        r{i} AS (SELECT nd.user_id,
+                   {basev} + ({PR_ALPHA_NUM} * COALESCE(s{i}.c, 0))
+                     // {PR_ALPHA_DEN} AS rank
+                 FROM nodes nd LEFT JOIN s{i} USING (user_id))""")
+    parts.append(f"""
+        SELECT user_id, CAST(rank AS BIGINT) AS rank FROM r{PR_ITERS}""")
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3154,6 +3317,7 @@ QUERIES = {
     "keyword_search_indexed": keyword_search_indexed,
     "chunk_documents": chunk_documents,
     "pack_documents_offsets": pack_documents_offsets,
+    "pagerank_user_graph": pagerank_user_graph,
 }
 
 
@@ -3941,4 +4105,5 @@ ORACLE_SQL.update({
                CAST(off // 256 AS BIGINT) AS bin_id
         FROM o
     """,
+    "pagerank_user_graph": _pagerank_sql(),
 })

@@ -207,3 +207,49 @@ def test_pack_offsets_block_split_invariant(tmp_path):
     off = whole["stream_offset"].to_numpy()
     assert (off == np.r_[0, np.cumsum(n)[:-1]]).all()
     assert (whole["bin_id"].to_numpy() == off // 256).all()
+
+
+def test_pagerank_matches_naive_loop(tmp_path):
+    """Fixed-point PageRank vs an independent naive dict-based loop over a
+    hand-built graph (two event types, shared edge across types must count
+    once; self-transitions dropped; dangling node keeps base only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.queries import (PR_ALPHA_DEN, PR_ALPHA_NUM, PR_ITERS,
+                                       PR_SCALE, pagerank_user_graph)
+    # type A: users 1,2,1,3  -> edges (1,2),(2,1),(1,3)
+    # type B: users 1,2,2,4  -> edges (1,2) dup across types, (2,2) self
+    #         dropped, (2,4)
+    rows = [(0, 1, "a"), (1, 2, "a"), (2, 1, "a"), (3, 3, "a"),
+            (4, 1, "b"), (5, 2, "b"), (6, 2, "b"), (7, 4, "b")]
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type"])
+    ev["ts"] = pd.Timestamp("2024-01-01")
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    ev = ev[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ev["event_id"] = ev["event_id"].astype(np.int64)
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    got = pagerank_user_graph(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    edges = {(1, 2), (2, 1), (1, 3), (2, 4)}
+    nodes = [1, 2, 3, 4]
+    deg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    n = len(nodes)
+    base = (15 * PR_SCALE) // (100 * n)
+    rank = {u: PR_SCALE // n for u in nodes}
+    for _ in range(PR_ITERS):
+        acc = {u: 0 for u in nodes}
+        for s, dd in edges:
+            acc[dd] += rank[s] // deg[s]
+        rank = {u: base + (PR_ALPHA_NUM * acc[u]) // PR_ALPHA_DEN
+                for u in nodes}
+    exp = pd.DataFrame({"user_id": np.array(nodes, np.int64),
+                        "rank": np.array([rank[u] for u in nodes],
+                                         np.int64)})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # dangling nodes (3 and 4: no out-edges) still hold base + inflow
+    assert (got["rank"] > 0).all()
