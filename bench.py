@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "pack_documents_offsets",
     "pagerank_user_graph",
+    "bm25_doc_scores",
 ]
 
 

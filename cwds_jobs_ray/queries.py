@@ -3178,6 +3178,111 @@ def pagerank_user_graph(sf_dir: str):
                      "rank": pa.array(rank, pa.int64())})
 
 
+BM25_TOKENS = ["dup", "join"]  # one rare + one common query token
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_doc_scores(sf_dir: str):
+    """BM25 relevance scores for a fixed keyword query over the corpus,
+    with the rational Robertson idf ((N - df + 0.5) / (df + 0.5), no log)
+    so every float op is an IEEE-deterministic function of exact integer
+    corpus statistics — the double score column itself hash-matches the
+    SQL oracle, which mirrors the expression tree operation-for-operation
+    (same discipline as daily_count_anomalies). Corpus stats (N, sum(dl),
+    df per query token) are one bounded tree-aggregate broadcast to a
+    block-local scoring pass; zero shuffle of document rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(t["text"], " ")
+        dl = pc.list_value_length(ws).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        row = {"n": [len(dl)], "sdl": [int(dl.sum())]}
+        for j, tok in enumerate(BM25_TOKENS):
+            tfs = _token_tf(ws, tok)
+            row[f"df{j}"] = [int((tfs > 0).sum())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in row.items()})
+
+    def stats_final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sum()
+        return pa.table({k: pa.array([int(df[k])], pa.int64())
+                         for k in df.index})
+
+    g = _tree_agg(ds, stats_partial, stats_final).to_pandas().iloc[0]
+    n, sdl = float(g["n"]), float(g["sdl"])
+    dfs = [float(g[f"df{j}"]) for j in range(len(BM25_TOKENS))]
+    gref = ray.put((n, sdl, dfs))
+
+    def score(t: pa.Table) -> pa.Table:
+        nn, sd, dd = ray.get(gref)
+        ws = pc.split_pattern(t["text"], " ")
+        dl = pc.list_value_length(ws).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        total = np.zeros(len(dl), np.float64)
+        any_tf = np.zeros(len(dl), bool)
+        for j, tok in enumerate(BM25_TOKENS):  # fixed token-order sum
+            tf = _token_tf(ws, tok).astype(np.float64)
+            any_tf |= tf > 0
+            idf = (float(nn - dd[j]) + 0.5) / (dd[j] + 0.5)
+            denom = tf + BM25_K1 * ((1.0 - BM25_B)
+                                    + BM25_B * (dl / (sd / nn)))
+            total = total + (idf * (tf * (BM25_K1 + 1.0))) / denom
+        return pa.table({
+            "doc_id": pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False)[any_tf],
+                pa.int64()),
+            "score": pa.array(total[any_tf], pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def _token_tf(ws: pa.ChunkedArray | pa.ListArray, tok: str) -> np.ndarray:
+    """Per-row occurrence count of ``tok`` in a split-words list column
+    (Arrow kernels: flatten + equality + per-parent sum)."""
+    if isinstance(ws, pa.ChunkedArray):
+        ws = ws.combine_chunks()
+    par = pc.list_parent_indices(ws).to_numpy(zero_copy_only=False)
+    eq = pc.equal(pc.list_flatten(ws), tok).to_numpy(zero_copy_only=False)
+    out = np.zeros(len(ws), np.int64)
+    np.add.at(out, par, eq.astype(np.int64))
+    return out
+
+
+def _bm25_sql() -> str:
+    """Oracle mirroring ``bm25_doc_scores``'s expression tree op-for-op
+    (literals written as the same arithmetic — ``(1.2 + 1.0)`` not 2.2 —
+    so both sides perform identical IEEE operations)."""
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf{j}"
+        for j, t in enumerate(BM25_TOKENS))
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{j}" for j in range(len(BM25_TOKENS)))
+    addends = "\n          + ".join(
+        f"(CAST(n - df{j} AS DOUBLE) + 0.5) / (CAST(df{j} AS DOUBLE) + 0.5)"
+        f" * (tf{j} * (1.2 + 1.0))"
+        f" / (tf{j} + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sdl / n))))"
+        for j in range(len(BM25_TOKENS)))
+    anytf = " OR ".join(f"tf{j} > 0" for j in range(len(BM25_TOKENS)))
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        st AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+               {tf_cols}
+               FROM w),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) AS sdl,
+             {df_cols}
+              FROM st)
+        SELECT doc_id,
+          {addends}
+          AS score
+        FROM st, g
+        WHERE {anytf}
+    """
+
+
 def _pagerank_sql() -> str:
     """Unrolled fixed-point PageRank oracle (aggregates are not allowed in
     a recursive CTE term, so the PR_ITERS iterations are unrolled as
@@ -3318,6 +3423,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "pack_documents_offsets": pack_documents_offsets,
     "pagerank_user_graph": pagerank_user_graph,
+    "bm25_doc_scores": bm25_doc_scores,
 }
 
 
@@ -4106,4 +4212,5 @@ ORACLE_SQL.update({
         FROM o
     """,
     "pagerank_user_graph": _pagerank_sql(),
+    "bm25_doc_scores": _bm25_sql(),
 })

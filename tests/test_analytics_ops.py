@@ -253,3 +253,43 @@ def test_pagerank_matches_naive_loop(tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # dangling nodes (3 and 4: no out-edges) still hold base + inflow
     assert (got["rank"] > 0).all()
+
+
+def test_bm25_scores_hand_computed(tmp_path):
+    """BM25 with rational idf over a 3-doc corpus vs a plain-Python
+    recompute; rare-term doc must outrank common-term doc at equal length,
+    and docs without any query token are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cwds_jobs_ray.queries import (BM25_B, BM25_K1, BM25_TOKENS,
+                                       bm25_doc_scores)
+    texts = ["dup alpha beta gamma",        # rare term once
+             "join alpha beta gamma",       # common term once
+             "alpha beta gamma delta"]      # no query token
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64), "text": texts,
+        "lang": "en", "source": "t",
+        "n_chars": np.array([len(t) for t in texts], np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    got = bm25_doc_scores(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1]
+
+    n, sdl = 3.0, 12.0
+    dfs = {"dup": 1.0, "join": 1.0}
+    def score(text):
+        ws = text.split(" ")
+        dl = float(len(ws))
+        s = 0.0
+        for tok in BM25_TOKENS:
+            tf = float(ws.count(tok))
+            idf = (float(n - dfs[tok]) + 0.5) / (dfs[tok] + 0.5)
+            s = s + (idf * (tf * (BM25_K1 + 1.0))) / (
+                tf + BM25_K1 * ((1.0 - BM25_B)
+                                + BM25_B * (dl / (sdl / n))))
+        return s
+    assert got["score"].tolist() == [score(texts[0]), score(texts[1])]
+    # both tokens have df=1 here, so scores tie exactly; same value twice
+    assert got["score"][0] == got["score"][1]
