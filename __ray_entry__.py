@@ -425,6 +425,7 @@ def entry() -> Any:
 #: (the driver grades a prefix of this dict; r1-r4 covered 66 of 86 rows).
 #: Listing these first guarantees every row lands in some driver record.
 _NEVER_DRIVER_GRADED = [
+    "grouped_heavy_hitters",
     "bm25_doc_scores",
     "pagerank_user_graph",
     "pack_documents_offsets",

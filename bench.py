@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "pack_documents_offsets",
     "pagerank_user_graph",
     "bm25_doc_scores",
+    "grouped_heavy_hitters",
 ]
 
 

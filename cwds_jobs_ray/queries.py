@@ -3178,6 +3178,78 @@ def pagerank_user_graph(sf_dir: str):
                      "rank": pa.array(rank, pa.int64())})
 
 
+HH_MEAN_NUM, HH_MEAN_DEN = 5, 4  # hitter: > 5/4 of the group's mean count
+
+
+def grouped_heavy_hitters(sf_dir: str):
+    """Per-group heavy hitters: users contributing strictly more than
+    HH_MEAN_NUM/HH_MEAN_DEN of their event_type's MEAN per-user count —
+    the per-GROUP variant of the global ``heavy_hitter_users``, with a
+    scale-free threshold (a fixed share like 1/20 degenerates to empty as
+    the user population grows; the synthetic user distribution is
+    near-uniform, so the multiple is modest). Exact two-level counting
+    shaped for
+    scale: per-block (type, user) partials pre-reduce the stream, ONE
+    user-keyed exchange makes per-(type, user) counts additive, group
+    totals/user-counts come back as an O(groups) broadcast, and the
+    threshold is an integer cross-multiplication
+    (n * DEN * distinct_users > NUM * total — no division, no floats). At open
+    user cardinality the same exchange carries Misra-Gries summaries
+    instead (functions/sketch.py); counts here are exact because the
+    partial pre-reduce bounds the wire by distinct (type, user) per
+    block."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "user_id": t["user_id"]}).to_pandas() \
+            .groupby(["event_type", "user_id"], sort=False).size() \
+            .rename("n").reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    counts = _tree_agg(
+        ds, partial,
+        lambda t: _pa_from_pandas(
+            t.to_pandas().groupby(["event_type", "user_id"], sort=False)
+            ["n"].sum().reset_index(), preserve_index=False),
+        bucket_on="user_id").materialize()
+
+    # group totals + distinct-user counts: per-block O(groups) partials ->
+    # one bounded final, broadcast once (never a full count-table collect).
+    # `counts` rows are UNIQUE per (type, user) after the keyed exchange,
+    # so per-block row counts are additive distinct-user partials.
+    def tot_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("event_type", sort=False)["n"] \
+            .agg(["sum", "size"]).reset_index() \
+            .rename(columns={"sum": "tot", "size": "du"})
+        return _pa_from_pandas(g, preserve_index=False)
+
+    def tot_final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("event_type", sort=False)[["tot", "du"]] \
+            .sum().reset_index()
+        return _pa_from_pandas(g, preserve_index=False)
+
+    tot = _tree_agg(counts, tot_partial, tot_final).to_pandas()
+    tref = ray.put({r.event_type: (int(r.tot), int(r.du))
+                    for r in tot.itertuples()})
+
+    def hitters(t: pa.Table) -> pa.Table:
+        tt = ray.get(tref)
+        df = t.to_pandas()
+        total = df["event_type"].map(lambda k: tt[k][0]).to_numpy(np.int64)
+        du = df["event_type"].map(lambda k: tt[k][1]).to_numpy(np.int64)
+        keep = (df["n"].to_numpy(np.int64) * HH_MEAN_DEN * du
+                > HH_MEAN_NUM * total)
+        out = df[keep]
+        return pa.table({
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    return counts.map_batches(hitters, batch_format="pyarrow",
+                              batch_size=65536)
+
+
 BM25_TOKENS = ["dup", "join"]  # one rare + one common query token
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -3424,6 +3496,7 @@ QUERIES = {
     "pack_documents_offsets": pack_documents_offsets,
     "pagerank_user_graph": pagerank_user_graph,
     "bm25_doc_scores": bm25_doc_scores,
+    "grouped_heavy_hitters": grouped_heavy_hitters,
 }
 
 
@@ -4213,4 +4286,13 @@ ORACLE_SQL.update({
     """,
     "pagerank_user_graph": _pagerank_sql(),
     "bm25_doc_scores": _bm25_sql(),
+    "grouped_heavy_hitters": f"""
+        WITH c AS (SELECT event_type, user_id, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, SUM(n) AS tot, COUNT(*) AS du
+              FROM c GROUP BY 1)
+        SELECT c.event_type, c.user_id, CAST(c.n AS BIGINT) AS n
+        FROM c JOIN t USING (event_type)
+        WHERE c.n * {HH_MEAN_DEN} * t.du > {HH_MEAN_NUM} * t.tot
+    """,
 })
